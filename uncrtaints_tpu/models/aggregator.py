@@ -1,0 +1,71 @@
+"""Temporal aggregators: collapse T attention-weighted frames to one map.
+
+Re-design of Compact_Temporal_Aggregator
+(/root/reference/model/src/backbones/uncrtaints.py:149-221) and
+Temporal_Aggregator (utae.py:626-688). The reference branches on
+``pad_mask.any()`` at Python level; here the mask multiply is applied
+unconditionally (a no-op for all-valid batches), keeping the graph static.
+
+Attention layout: [B, T, H', W', n_head]; features: [B, T, H, W, C].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from uncrtaints_tpu.ops.resize import upsample_bilinear, avg_pool2d
+
+
+def _match_resolution(attn: jax.Array, hw: tuple) -> jax.Array:
+    """Upsample (bilinear, half-pixel) or avg-pool attention to feature res."""
+    H, W = hw
+    h_att, w_att = attn.shape[2], attn.shape[3]
+    if H > h_att:
+        return upsample_bilinear(attn, (H, W), hw_axes=(2, 3))
+    if H < h_att:
+        return avg_pool2d(attn, w_att // W, hw_axes=(2, 3))
+    return attn
+
+
+class TemporalAggregator(nn.Module):
+    """mode att_group | att_mean | mean.
+
+    ``dropout_rate=0.1`` reproduces the compact aggregator's post-upsampling
+    attention dropout (uncrtaints.py:153-154,167); pass 0.0 for the U-TAE
+    skip-level aggregator which has none (utae.py:626-688).
+    """
+    mode: str = "att_group"
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None, attn_mask=None, train: bool = False):
+        B, T, H, W, C = x.shape
+        if self.mode == "att_group":
+            attn = _match_resolution(attn_mask, (H, W))       # [B,T,H,W,h]
+            if attn.shape[2] > attn_mask.shape[2] and self.dropout_rate > 0:
+                attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
+            if pad_mask is not None:
+                attn = attn * (~pad_mask)[:, :, None, None, None].astype(attn.dtype)
+            heads = attn.shape[-1]
+            xg = x.reshape(B, T, H, W, heads, C // heads)
+            out = jnp.einsum("bthwn,bthwnc->bhwnc", attn, xg)
+            return out.reshape(B, H, W, C)
+        if self.mode == "att_mean":
+            attn = attn_mask.mean(axis=-1, keepdims=True)      # over heads
+            attn = _match_resolution(attn, (H, W))
+            if self.dropout_rate > 0:
+                attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
+            if pad_mask is not None:
+                attn = attn * (~pad_mask)[:, :, None, None, None].astype(attn.dtype)
+            return (x * attn).sum(axis=1)
+        if self.mode == "mean":
+            if pad_mask is not None:
+                keep = (~pad_mask).astype(x.dtype)
+                out = (x * keep[:, :, None, None, None]).sum(axis=1)
+                return out / keep.sum(axis=1)[:, None, None, None]
+            return x.mean(axis=1)
+        raise NotImplementedError(self.mode)

@@ -1,0 +1,169 @@
+"""Shared layers: convolutions, norms, temporal folding, init parity.
+
+Re-designs of /root/reference/model/src/backbones/utae.py:409-565 (ConvLayer/
+ConvBlock/TemporallySharedBlock/get_norm_layer) for NHWC TPU layouts.
+
+Parameter-init parity with the reference's post-construction
+``model.netG.apply(weight_init)`` pass
+(/root/reference/model/src/learning/weight_init.py):
+conv/linear kernels xavier-normal, conv/linear biases N(0,1), BatchNorm scale
+N(0,1) / bias 0, GroupNorm default (scale 1, bias 0), InstanceNorm unaffine.
+
+Temporal-padding semantics: the reference's ``smart_forward`` dynamically
+filters all-pad frames out of the conv batch (utae.py:422-450) -- a
+dynamic-shape pattern XLA cannot compile. We instead run dense compute on
+every frame and overwrite pad frames with ``pad_value`` afterwards, which is
+mathematically identical for the per-sample norms used on the temporal path
+(group/instance) and keeps shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# --- init parity (weight_init.py) ---
+conv_kernel_init = nn.initializers.xavier_normal()
+dense_kernel_init = nn.initializers.xavier_normal()
+bias_normal_init = nn.initializers.normal(stddev=1.0)
+bn_scale_init = nn.initializers.normal(stddev=1.0)
+# Conv1d in the reference gets plain N(0,1) weights (weight_init.py:13-16);
+# used for the LTAE in-projection.
+conv1d_kernel_init = nn.initializers.normal(stddev=1.0)
+
+
+def gelu(x):
+    """PyTorch nn.GELU() default = exact erf-based gelu."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def softplus_t20(x):
+    """nn.Softplus(beta=1, threshold=20): identity above the threshold."""
+    return jnp.where(x > 20.0, x, jax.nn.softplus(x))
+
+
+class Norm2d(nn.Module):
+    """Config-selected normalization over NHWC feature maps.
+
+    batch    -> BatchNorm2d parity (eps 1e-5, momentum 0.1 torch convention)
+    instance -> InstanceNorm2d parity (NO affine params, per torch default)
+    group    -> GroupNorm(n_groups) parity
+    none     -> identity
+    """
+    norm: str = "batch"
+    n_groups: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.norm == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,  # torch momentum 0.1 == flax 0.9
+                epsilon=1e-5,
+                scale_init=bn_scale_init,
+            )(x)
+        if self.norm == "instance":
+            # per-(sample, channel) stats over H, W; torch default affine=False
+            mean = x.mean(axis=(-3, -2), keepdims=True)
+            var = x.var(axis=(-3, -2), keepdims=True)
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        if self.norm == "group":
+            return nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5)(x)
+        return x
+
+
+class Conv2d(nn.Module):
+    """NHWC conv with reflect padding parity (nn.Conv2d padding_mode)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    pad: int = 1
+    padding_mode: str = "reflect"
+    use_bias: bool = True
+    groups: int = 1
+    kernel_init: Callable = conv_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        if self.pad > 0 and self.padding_mode in ("reflect", "replicate", "circular"):
+            mode = {"reflect": "reflect", "replicate": "edge", "circular": "wrap"}[self.padding_mode]
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 3) + [(self.pad, self.pad), (self.pad, self.pad), (0, 0)],
+                        mode=mode)
+            padding = "VALID"
+        else:
+            padding = [(self.pad, self.pad), (self.pad, self.pad)]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=padding,
+            use_bias=self.use_bias,
+            feature_group_count=self.groups,
+            kernel_init=self.kernel_init,
+            bias_init=bias_normal_init,
+        )(x)
+
+
+class ConvLayer(nn.Module):
+    """Stack of Conv2d(+norm)(+ReLU) -- utae.py:453-497 parity."""
+    nkernels: Sequence[int]
+    norm: str = "batch"
+    k: int = 3
+    s: int = 1
+    p: int = 1
+    n_groups: int = 4
+    last_relu: bool = True
+    padding_mode: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = len(self.nkernels)
+        for i in range(n - 1):
+            x = Conv2d(self.nkernels[i + 1], kernel=self.k, stride=self.s,
+                       pad=self.p, padding_mode=self.padding_mode)(x)
+            x = Norm2d(self.norm, self.n_groups)(x, train=train)
+            if self.last_relu or i < n - 2:
+                x = nn.relu(x)
+        return x
+
+
+def smart_apply(fn: Callable, x: jax.Array, pad_value: Optional[float] = None) -> jax.Array:
+    """Apply a [N,H,W,C] function over [B,T,H,W,C] by folding time into batch.
+
+    Static-shape replacement for TemporallySharedBlock.smart_forward
+    (utae.py:422-450): dense compute everywhere, pad frames re-filled with
+    ``pad_value`` afterwards.
+    """
+    if x.ndim == 4:
+        return fn(x)
+    b, t = x.shape[:2]
+    pad_mask = None
+    if pad_value is not None:
+        pad_mask = jnp.all(x == pad_value, axis=(2, 3, 4))  # [B,T]
+    y = fn(x.reshape(b * t, *x.shape[2:]))
+    y = y.reshape(b, t, *y.shape[1:])
+    if pad_mask is not None:
+        y = jnp.where(pad_mask[:, :, None, None, None], pad_value, y)
+    return y
+
+
+class ConvBlock(nn.Module):
+    """Temporally-shared ConvLayer (utae.py:500-520 parity)."""
+    nkernels: Sequence[int]
+    pad_value: Optional[float] = None
+    norm: str = "batch"
+    last_relu: bool = True
+    k: int = 3
+    s: int = 1
+    p: int = 1
+    padding_mode: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        layer = ConvLayer(self.nkernels, norm=self.norm, k=self.k, s=self.s,
+                          p=self.p, last_relu=self.last_relu,
+                          padding_mode=self.padding_mode)
+        return smart_apply(lambda a: layer(a, train=train), x, self.pad_value)

@@ -1,0 +1,93 @@
+"""Config-driven model construction (model_utils.get_generator parity,
+/root/reference/model/src/model_utils.py:16-110)."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from uncrtaints_tpu.config import Config, input_dim
+
+S2_BANDS = 13
+
+
+def mean_vars_idx(cfg: Config):
+    """Channel split points for mean/variance heads."""
+    covar_dim = {"uni": S2_BANDS, "iso": 1, "diag": S2_BANDS}.get(cfg.covmode, 0)
+    if cfg.loss not in ("GNLL", "MGNLL"):
+        covar_dim = 0
+    return S2_BANDS, S2_BANDS + covar_dim
+
+
+def get_generator(cfg: Config) -> nn.Module:
+    if cfg.model == "uncrtaints":
+        from uncrtaints_tpu.models.uncrtaints import UNCRTAINTS
+        return UNCRTAINTS(
+            input_dim=input_dim(cfg),
+            encoder_widths=tuple(cfg.encoder_widths),
+            decoder_widths=tuple(cfg.decoder_widths),
+            out_conv=tuple(cfg.out_conv),
+            out_nonlin_mean=cfg.mean_nonLinearity,
+            out_nonlin_var=cfg.var_nonLinearity,
+            agg_mode=cfg.agg_mode,
+            encoder_norm=cfg.encoder_norm,
+            decoder_norm=cfg.decoder_norm,
+            n_head=cfg.n_head,
+            d_model=cfg.d_model,
+            d_k=cfg.d_k,
+            pad_value=cfg.pad_value,
+            padding_mode=cfg.padding_mode,
+            positional_encoding=cfg.positional_encoding,
+            covmode=cfg.covmode,
+            scale_by=cfg.scale_by,
+            separate_out=cfg.separate_out,
+            use_v=cfg.use_v,
+            block_type=cfg.block_type,
+            is_mono=cfg.pretrain,
+            low_res_size=cfg.low_res_size,
+        )
+    if "unet3d" in cfg.model:
+        from uncrtaints_tpu.models.unet3d import UNet3D
+        return UNet3D(
+            in_channel=input_dim(cfg),
+            out_channel=cfg.out_conv[-1],
+            out_nonlin_mean=cfg.mean_nonLinearity,
+            out_nonlin_var=cfg.var_nonLinearity,
+        )
+    if "unet" in cfg.model or (cfg.model == "utae" and cfg.pretrain):
+        from uncrtaints_tpu.models.unet import UNet
+        return UNet(
+            input_dim=input_dim(cfg),
+            encoder_widths=tuple(cfg.encoder_widths),
+            decoder_widths=tuple(cfg.decoder_widths),
+            out_conv=tuple(cfg.out_conv),
+            out_nonlin_mean=cfg.mean_nonLinearity,
+            out_nonlin_var=cfg.var_nonLinearity,
+            encoder_norm=cfg.encoder_norm,
+            decoder_norm=cfg.decoder_norm,
+            pad_value=cfg.pad_value,
+            padding_mode=cfg.padding_mode,
+        )
+    if "utae" in cfg.model:
+        from uncrtaints_tpu.models.utae import UTAE
+        return UTAE(
+            input_dim=input_dim(cfg),
+            encoder_widths=tuple(cfg.encoder_widths),
+            decoder_widths=tuple(cfg.decoder_widths),
+            out_conv=tuple(cfg.out_conv),
+            out_nonlin_mean=cfg.mean_nonLinearity,
+            out_nonlin_var=cfg.var_nonLinearity,
+            agg_mode=cfg.agg_mode,
+            encoder_norm=cfg.encoder_norm,
+            decoder_norm=cfg.decoder_norm,
+            n_head=cfg.n_head,
+            d_model=cfg.d_model,
+            d_k=cfg.d_k,
+            pad_value=cfg.pad_value,
+            padding_mode=cfg.padding_mode,
+            positional_encoding=cfg.positional_encoding,
+            scale_by=cfg.scale_by,
+        )
+    if cfg.model in ("uconvlstm", "buconvlstm", "convlstm", "convgru", "fpn"):
+        from uncrtaints_tpu.models.recurrent import build_recurrent
+        return build_recurrent(cfg)
+    raise NotImplementedError(cfg.model)
