@@ -1,0 +1,98 @@
+"""Learning-engine tests: loss decreases, scale_by protocol, lr schedule,
+freezing, and the 8-device sharded train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uncrtaints_tpu.config import Config, derive, input_dim
+from uncrtaints_tpu.models import get_generator
+from uncrtaints_tpu.train import (
+    create_train_state, make_train_step, make_eval_step,
+    set_learning_rate, epoch_lr,
+)
+
+SMALL = dict(encoder_widths=[16], decoder_widths=[16, 16], n_head=4,
+             d_model=32, d_k=4, batch_size=2, lr=1e-3)
+
+
+def _make(cfg, B=2, T=3, H=32, W=32, seed=0):
+    model = get_generator(cfg)
+    rng = np.random.default_rng(seed)
+    batch = {
+        "x": jnp.asarray(rng.random((B, T, H, W, input_dim(cfg)), dtype=np.float32)),
+        "y": jnp.asarray(rng.random((B, 1, H, W, 13), dtype=np.float32)),
+        "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    return state, batch
+
+
+def test_train_loss_decreases():
+    cfg = derive(Config(use_sar=True, scale_by=10.0, **SMALL))
+    state, batch = _make(cfg)
+    step = make_train_step(cfg)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        state, aux = step(state, batch, sub)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 12
+
+
+def test_eval_step_rescales_outputs():
+    cfg = derive(Config(use_sar=True, scale_by=10.0, **SMALL))
+    state, batch = _make(cfg)
+    ev = make_eval_step(cfg)
+    aux = ev(state, batch)
+    # scale_by protocol: outputs come back in data units [0, ~1]
+    assert aux["pred"].shape == (2, 1, 32, 32, 13)
+    assert aux["var"].shape == (2, 1, 32, 32, 13)
+    assert float(jnp.abs(aux["pred"]).max()) < 50.0
+
+
+def test_lr_schedule_parity():
+    cfg = derive(Config(gamma=0.8, **SMALL))
+    assert abs(epoch_lr(cfg, 0) - cfg.lr) < 1e-12
+    assert abs(epoch_lr(cfg, 3) - cfg.lr * 0.8 ** 3) < 1e-12
+    state, batch = _make(cfg)
+    state = set_learning_rate(state, epoch_lr(cfg, 3))
+    assert abs(float(state.opt_state.hyperparams["learning_rate"])
+               - cfg.lr * 0.8 ** 3) < 1e-9
+
+
+def test_freeze_mask_blocks_updates():
+    cfg = derive(Config(**SMALL))
+    state, batch = _make(cfg)
+    # freeze everything except the out_conv head
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, p: jnp.asarray(
+            1.0 if "out_conv" in jax.tree_util.keystr(path) else 0.0),
+        state.params)
+    state = state.replace(freeze_mask=mask)
+    p0 = jax.tree.map(lambda a: np.asarray(a).copy(), state.params)
+    step = make_train_step(cfg)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    changed, unchanged = [], []
+    flat0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+    flat1 = {jax.tree_util.keystr(k): v for k, v in
+             jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    for k, v0 in flat0:
+        ks = jax.tree_util.keystr(k)
+        same = np.allclose(np.asarray(flat1[ks]), np.asarray(v0))
+        (unchanged if same else changed).append(ks)
+    assert all("out_conv" in k for k in changed)
+    assert any("out_conv" in k for k in changed)
+    assert any("in_conv" in k for k in unchanged)
+
+
+def test_multichip_dryrun_8_devices():
+    """The driver's multi-chip validation path: full train step jitted over
+    an 8-device data mesh (virtual CPU devices)."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+    assert len(jax.devices()) == 8
+    ge.dryrun_multichip(8)

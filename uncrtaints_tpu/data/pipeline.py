@@ -1,0 +1,141 @@
+"""Host-side input pipeline: collation, shuffling, prefetch, host sharding.
+
+Replaces the reference's torch DataLoader + worker processes
+(train_reconstruct.py:589-609) with a thread-pooled, double-buffered numpy
+pipeline feeding NHWC device batches. Batch assembly semantics follow
+prepare_data_multi / prepare_data_mono (train_reconstruct.py:149-179):
+
+- multi: x = concat(S1, S2) on channels per frame -> [B, T, H, W, 2+13];
+  dates = mean(S1 TD, S2 TD) when SAR is used else S2 TD -> [B, T];
+  y = target S2 -> [B, 1, H, W, 13]; masks -> [B, T, H, W]
+- mono:  x -> [B, 1, H, W, C], no dates
+
+Determinism mirrors the reference: the train iterator is re-seeded each
+epoch with (seed + epoch) when vary_samples is on (train_reconstruct.py:
+663-676), so sample order reproduces across resumed runs.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def collate_multi(samples, use_sar: bool = True) -> Dict[str, np.ndarray]:
+    """Stack sample dicts into one NHWC multi-temporal batch."""
+    xs, ys, dates, masks = [], [], [], []
+    for s in samples:
+        s1 = np.stack([np.moveaxis(f, 0, -1) for f in s["input"]["S1"]])  # [T,H,W,2]
+        s2 = np.stack([np.moveaxis(f, 0, -1) for f in s["input"]["S2"]])  # [T,H,W,13]
+        x = np.concatenate([s1, s2], axis=-1) if use_sar else s2
+        xs.append(x)
+        ys.append(np.moveaxis(np.asarray(s["target"]["S2"][0]), 0, -1)[None])
+        s1_td = np.asarray(s["input"]["S1 TD"], np.float32)
+        s2_td = np.asarray(s["input"]["S2 TD"], np.float32)
+        dates.append((s1_td + s2_td) / 2.0 if use_sar else s2_td)
+        masks.append(np.stack(s["input"]["masks"]).astype(np.float32))
+    return {
+        "x": np.stack(xs).astype(np.float32),
+        "y": np.stack(ys).astype(np.float32),
+        "dates": np.stack(dates).astype(np.float32),
+        "masks": np.stack(masks),
+    }
+
+
+def collate_mono(samples, use_sar: bool = True) -> Dict[str, np.ndarray]:
+    """Stack mono-temporal (pretrain) samples: [B, 1, H, W, C]."""
+    xs, ys, masks = [], [], []
+    for s in samples:
+        s2 = np.moveaxis(np.asarray(s["input"]["S2"]), 0, -1)
+        if use_sar:
+            s1 = np.moveaxis(np.asarray(s["input"]["S1"]), 0, -1)
+            x = np.concatenate([s1, s2], axis=-1)
+        else:
+            x = s2
+        xs.append(x[None])
+        ys.append(np.moveaxis(np.asarray(s["target"]["S2"]), 0, -1)[None])
+        masks.append(np.asarray(s["input"]["masks"], np.float32)[None])
+    return {
+        "x": np.stack(xs).astype(np.float32),
+        "y": np.stack(ys).astype(np.float32),
+        "dates": None,
+        "masks": np.stack(masks),
+    }
+
+
+class BatchLoader:
+    """Shuffling, thread-prefetching batch iterator over an indexable dataset.
+
+    Per-host sharding for multi-host SPMD: with ``shard=(host_id, n_hosts)``
+    each host iterates a disjoint strided subset of the index space.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 1, collate=collate_multi, use_sar: bool = True,
+                 num_workers: int = 4, drop_last: bool = True,
+                 shard: Optional[tuple] = None, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.collate = collate
+        self.use_sar = use_sar
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.shard = shard
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Reference parity: epoch-seeded reshuffle (train_reconstruct.py:669)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shard is not None:
+            host, n_hosts = self.shard
+            idx = idx[host::n_hosts]
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __len__(self):
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        n_batches = len(self)
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, b))
+                    q.put(self.collate(samples, use_sar=self.use_sar))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)

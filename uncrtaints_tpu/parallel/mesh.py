@@ -1,0 +1,49 @@
+"""Device-mesh runtime: the TPU-native replacement for the reference's
+single-GPU + DataLoader-worker execution model (SURVEY.md section 2,
+'Parallelism & distributed communication').
+
+Design: a 1-D ``data`` mesh over ICI. The model (~1-2M params) is far below
+HBM capacity, so parameters are replicated and the batch axis is sharded;
+the jitted train step's gradient mean compiles to a single ``psum`` over ICI
+-- no NCCL/MPI analogue, no hand-written collectives. Multi-host extension:
+``jax.distributed.initialize()`` then the same mesh spans all hosts with DCN
+between slices (per-host data feeding handled by the input pipeline's
+``shard`` option).
+
+Rationale for no TP/PP/SP: see SURVEY.md section 2 -- at this model scale the
+only profitable parallel axis is batch x H x W, which data sharding covers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(jax.experimental.mesh_utils.create_device_mesh(
+        (len(devices),), devices=devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host pytree of arrays batch-sharded on the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda a: jax.device_put(a, sh) if hasattr(a, "shape") and a.ndim > 0
+        else a, batch)

@@ -1,0 +1,158 @@
+"""The learning engine: jitted train/eval steps over a device mesh.
+
+TPU-native replacement for the reference's BaseModel wrapper + iterate()
+inner loop (/root/reference/model/src/backbones/base_model.py:10-131,
+train_reconstruct.py:279-447):
+
+- one pure jitted ``train_step(state, batch) -> (state, aux)`` instead of
+  set_input/forward/backward/step/rescale mutations; the whole optimizer
+  step (forward + NLL + backward + Adam + rescale) is a single XLA program
+- the ``scale_by`` protocol (base_model.py:26-35) is fused into the step:
+  inputs/targets scaled going in, predicted means are divided by scale_by
+  and variances by scale_by**2 before they leave the device
+- Adam + per-epoch exponential lr decay (torch ExponentialLR parity) via
+  optax.inject_hyperparams; the host sets the epoch lr, resume re-scales
+  by gamma**epoch exactly like train_reconstruct.py:83-84
+- layer freezing for the transfer-learning path (model_utils.py:128-196) is
+  a float 0/1 mask pytree carried in the state: updates are multiplied by
+  the mask, so 'unfreeze after epoch k' is a host-side mask flip with no
+  recompilation
+- data parallelism: batch axis sharded over the mesh; the loss mean makes
+  XLA emit the gradient psum over ICI automatically
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from uncrtaints_tpu.config import Config
+from uncrtaints_tpu.losses import get_loss, calc_loss
+from uncrtaints_tpu.models.registry import mean_vars_idx
+
+S2_BANDS = 13
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    freeze_mask: Any            # float 0/1 pytree matching params, or None
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    """Adam with torch-default hyperparameters; lr injectable per epoch."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def epoch_lr(cfg: Config, epoch: int) -> float:
+    """ExponentialLR parity: lr * gamma^epoch, stepped at epoch end
+    (epoch here counts completed epochs, starting at 0)."""
+    return cfg.lr * cfg.gamma ** epoch
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state)
+
+
+def create_train_state(cfg: Config, model, rng: jax.Array,
+                       sample_batch: Dict) -> TrainState:
+    variables = model.init(rng, sample_batch["x"],
+                           batch_positions=sample_batch.get("dates"))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg.lr)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        freeze_mask=None,
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def _split_out(out, cfg: Config):
+    mean_idx, vars_idx = mean_vars_idx(cfg)
+    mean = out[..., :mean_idx]
+    var = out[..., mean_idx:vars_idx] if vars_idx > mean_idx else None
+    return mean, var
+
+
+def make_train_step(cfg: Config) -> Callable:
+    """Build the jitted train step. Batch dict (already on device):
+    x [B,T,H,W,C], y [B,1,H,W,13], dates [B,T] or None, masks (unused here).
+
+    Returns (new_state, aux) with aux = {loss, pred, var} where pred/var are
+    already rescaled back to data units (scale_by protocol)."""
+    criterion = get_loss(cfg)
+    s = cfg.scale_by
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, dropout_rng) -> Tuple[TrainState, Dict]:
+        x = s * batch["x"]
+        y = s * batch["y"]
+        dates = batch.get("dates")
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mutated = state.apply_fn(
+                variables, x, batch_positions=dates, train=True,
+                mutable=["batch_stats"], rngs={"dropout": dropout_rng})
+            mean, var = _split_out(out, cfg)
+            loss, variance = calc_loss(criterion, cfg, mean, y, var=var)
+            return loss, (mutated.get("batch_stats", state.batch_stats),
+                          mean, variance)
+
+        (loss, (new_bs, mean, variance)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        if state.freeze_mask is not None:
+            updates = jax.tree.map(lambda u, m: u * m, updates, state.freeze_mask)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        aux = {"loss": loss, "pred": mean / s}
+        if variance is not None:
+            aux["var"] = variance / (s * s)
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(cfg: Config) -> Callable:
+    """Jitted no-grad eval step: forward + loss + rescale
+    (the reference's val/test branch, train_reconstruct.py:302-315)."""
+    criterion = get_loss(cfg)
+    s = cfg.scale_by
+
+    @jax.jit
+    def eval_step(state: TrainState, batch) -> Dict:
+        x = s * batch["x"]
+        y = s * batch["y"]
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = state.apply_fn(variables, x, batch_positions=batch.get("dates"),
+                             train=False)
+        mean, var = _split_out(out, cfg)
+        loss, variance = calc_loss(criterion, cfg, mean, y, var=var)
+        aux = {"loss": loss, "pred": mean / s}
+        if variance is not None:
+            aux["var"] = variance / (s * s)
+        return aux
+
+    return eval_step
