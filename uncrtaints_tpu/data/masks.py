@@ -1,0 +1,157 @@
+"""Cloud & shadow detection, on-device.
+
+TPU-native rebuild of the threshold-based detector
+(/root/reference/util/detect_cloudshadow.py:17-93) and the mask dispatch
+(/root/reference/data/dataLoader.py:61-106). The reference runs scipy C
+kernels per frame on the host inside DataLoader workers -- the #1 hot loop
+of its input pipeline (SURVEY.md section 3.1). Here the entire detector is
+a jittable jnp function over batched [..., H, W] band stacks, so masking all
+30 frames of a time series is one fused device call.
+
+Math parity (all verified against a numpy/scipy re-derivation in tests):
+- cloud score: min over rescaled brightness tests of bands
+  B01/B02/B04/B03/B10/B11, minus-snow NDSI test, grey_closing(5,5),
+  7x7 box filter, clip [1e-5, 1], threshold binarize
+- shadow: CSI=(B08+B11)/2 vs adaptive thresholds on CSI and blue band,
+  5x5 median filter
+- merged mask: shadows -> -1, clouds -> +1, binarized to {0,1}
+- s2cloudless modes (ML detector) need the external LightGBM model; when
+  the optional `s2cloudless` package is absent we fall back to the
+  threshold detector with a warning (dataLoader.py:216-218 gating).
+
+Input convention: `img` is the RAW (unrescaled) S2 stack, bands on the LAST
+axis ([..., H, W, 13], NHWC) in [0, 10000].
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uncrtaints_tpu.ops.filters import (
+    median_filter2d, grey_closing, box_filter2d, gaussian_filter2d,
+)
+
+
+def _rescale(data, lo, hi):
+    return (data - lo) / (hi - lo)
+
+
+def _normalized_difference(c1, c2):
+    s = c1 + c2
+    s = jnp.where(s == 0, 0.001, s)
+    return (c1 - c2) / s
+
+
+def get_cloud_mask(img: jax.Array, cloud_threshold: float = 0.2,
+                   binarize: bool = False,
+                   use_moist_check: bool = False) -> jax.Array:
+    """Hand-crafted cloud score (detect_cloudshadow.py:43-78).
+    img: [..., H, W, 13] raw S2. Returns [..., H, W] score or binary mask."""
+    d = img / 10000.0
+    b = lambda i: d[..., i]
+
+    score = jnp.ones(d.shape[:-1], d.dtype)
+    # clouds are reasonably bright in blue and aerosol/cirrus bands
+    score = jnp.minimum(score, _rescale(b(1), 0.1, 0.5))
+    score = jnp.minimum(score, _rescale(b(0), 0.1, 0.3))
+    score = jnp.minimum(score, _rescale(b(0) + b(10), 0.4, 0.9))
+    score = jnp.minimum(score, _rescale(b(3) + b(2) + b(1), 0.2, 0.8))
+    if use_moist_check:
+        ndmi = _normalized_difference(b(7), b(11))
+        score = jnp.minimum(score, _rescale(ndmi, -0.1, 0.1))
+    # ... but clouds are not snow
+    ndsi = _normalized_difference(b(2), b(11))
+    score = jnp.minimum(score, _rescale(ndsi, 0.8, 0.6))
+
+    score = grey_closing(score, 5)
+    score = box_filter2d(score, 7)
+    score = jnp.clip(score, 0.00001, 1.0)
+    if binarize:
+        score = (score >= cloud_threshold).astype(score.dtype)
+    return score
+
+
+def get_shadow_mask(img: jax.Array) -> jax.Array:
+    """Cloud-shadow index thresholding (detect_cloudshadow.py:17-40).
+    Returns [..., H, W] in {-1, 0}."""
+    d = img / 10000.0
+    bb, bnir, bswir1 = d[..., 1], d[..., 7], d[..., 11]
+    csi = (bnir + bswir1) / 2.0
+
+    # adaptive thresholds over the spatial dims only (per frame)
+    red = lambda a, f: f(a, axis=(-2, -1), keepdims=True)
+    t3 = red(csi, jnp.min) + 0.75 * (red(csi, jnp.mean) - red(csi, jnp.min))
+    t4 = red(bb, jnp.min) + (5.0 / 6.0) * (red(bb, jnp.mean) - red(bb, jnp.min))
+
+    shadow = jnp.where((csi < t3) & (bb < t4), -1.0, 0.0)
+    return median_filter2d(shadow, 5)
+
+
+def get_cloud_cloudshadow_mask(img: jax.Array,
+                               cloud_threshold: float = 0.2) -> jax.Array:
+    """Merged binary cloud+shadow mask (dataLoader.py:61-72): shadows and
+    clouds both labeled 1."""
+    cloud = get_cloud_mask(img, cloud_threshold, binarize=True)
+    shadow = get_shadow_mask(img)
+    merged = jnp.zeros_like(cloud)
+    merged = jnp.where(shadow < 0, -1.0, merged)
+    merged = jnp.where(cloud > 0, 1.0, merged)
+    return (merged != 0).astype(jnp.float32)
+
+
+# jitted batched entry point: mask a whole [T, H, W, 13] stack in one call
+cloud_cloudshadow_mask_batched = jax.jit(get_cloud_cloudshadow_mask)
+
+
+def _try_s2cloudless():
+    try:
+        from s2cloudless import S2PixelCloudDetector  # optional dependency
+        return S2PixelCloudDetector(threshold=0.4, all_bands=True,
+                                    average_over=4, dilation_size=2)
+    except ImportError:
+        return None
+
+
+_S2C_WARNED = False
+
+
+def get_cloud_map(img: np.ndarray, detector: str = "cloud_cloudshadow_mask",
+                  instance=None) -> np.ndarray:
+    """Mask dispatch with blank-image guard (dataLoader.py:84-106).
+    img: [..., H, W, 13] raw S2 (bands LAST). Returns float32 mask."""
+    global _S2C_WARNED
+    img = np.clip(img, 0, 10000)
+    hw = img.shape[-3:-1]
+    if img.mean() < 1e-5 and img.std() < 1e-5:
+        warnings.warn("Encountered a blank sample, defaulting to cloudy mask.")
+        return np.ones(hw, np.float32)
+
+    if detector in ("s2cloudless_map", "s2cloudless_mask"):
+        inst = instance if instance is not None else _try_s2cloudless()
+        if inst is None:
+            if not _S2C_WARNED:
+                warnings.warn("s2cloudless unavailable; falling back to the "
+                              "threshold cloud/shadow detector.")
+                _S2C_WARNED = True
+            detector = "cloud_cloudshadow_mask"
+        else:
+            x = (img / 10000.0)[None]  # [1, H, W, 13]
+            if detector == "s2cloudless_map":
+                m = inst.get_cloud_probability_maps(x)[0]
+                m[m < 0.5] = 0
+                m = np.asarray(gaussian_filter2d(jnp.asarray(m), sigma=2.0))
+            else:
+                m = inst.get_cloud_masks(x)[0]
+            return m.astype(np.float32)
+
+    if detector == "cloud_cloudshadow_mask":
+        return np.asarray(
+            cloud_cloudshadow_mask_batched(jnp.asarray(img))).astype(np.float32)
+
+    warnings.warn(f"Method {detector} not yet implemented!")
+    return np.ones(hw, np.float32)

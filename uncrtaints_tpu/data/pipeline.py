@@ -67,6 +67,26 @@ def collate_mono(samples, use_sar: bool = True) -> Dict[str, np.ndarray]:
     }
 
 
+class Subset:
+    """Index-range view over a dataset (torch.utils.data.Subset analogue,
+    used for --max_samples_count/--max_samples_frac caps,
+    train_reconstruct.py:584-586)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+    def __getattr__(self, name):
+        # pass through dataset attributes (epoch_count etc.)
+        return getattr(self.dataset, name)
+
+
 class BatchLoader:
     """Shuffling, thread-prefetching batch iterator over an indexable dataset.
 

@@ -1,0 +1,117 @@
+"""Checkpointing: save/restore (params, opt state, lr, epoch) with the
+reference's best/per-epoch/resume semantics.
+
+Mirrors /root/reference/model/src/model_utils.py:117-219 +
+train_reconstruct.py:718-726: per-epoch ``model_epoch_{k}.ckpt`` plus a
+best-on-val ``model.ckpt``; loading restores optimizer/schedule state for
+``--resume_from`` and supports partial transfer from a pretrained net with
+layer freezing (load_model semantics).
+
+Format: single-file msgpack via flax.serialization (the .pth.tar analogue),
+with a small JSON sidecar for the epoch / lr scalars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from uncrtaints_tpu.train.engine import TrainState, set_learning_rate
+
+
+def _ckpt_paths(res_dir: str, experiment: str, name: str):
+    d = os.path.join(res_dir, experiment)
+    return os.path.join(d, f"{name}.ckpt"), os.path.join(d, f"{name}.meta.json")
+
+
+def save_checkpoint(cfg, epoch: int, state: TrainState, name: str,
+                    lr: float) -> str:
+    path, meta_path = _ckpt_paths(cfg.res_dir, cfg.experiment_name, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    with open(meta_path, "w") as f:
+        json.dump({"epoch": epoch, "lr": lr, "step": int(state.step)}, f)
+    return path
+
+
+def load_checkpoint(cfg, checkp_dir: str, state: TrainState, name: str,
+                    restore_opt: bool = True) -> Tuple[TrainState, Dict]:
+    """Strict restore of a checkpoint into an existing state skeleton."""
+    path, meta_path = _ckpt_paths(checkp_dir, cfg.experiment_name, name)
+    with open(path, "rb") as f:
+        target = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": 0,
+        }
+        payload = serialization.from_bytes(target, f.read())
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    state = state.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"],
+        step=jax.numpy.asarray(payload["step"], jax.numpy.int32))
+    if restore_opt:
+        state = state.replace(opt_state=payload["opt_state"])
+        if "lr" in meta:
+            state = set_learning_rate(state, meta["lr"])
+    return state, meta
+
+
+def load_pretrained_partial(cfg, state: TrainState,
+                            ckpt_path: str) -> Tuple[TrainState, object]:
+    """Transfer from a pretrained checkpoint: copy every parameter whose
+    path+shape matches, freeze the copied ones except the output head
+    (model_utils.py:128-196 semantics). Returns (state, freeze_mask)."""
+    import jax.numpy as jnp
+
+    with open(ckpt_path, "rb") as f:
+        payload = serialization.from_bytes(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats),
+             "opt_state": jax.device_get(state.opt_state),
+             "step": 0},
+            f.read())
+    pre = payload["params"]
+
+    flat_new = {jax.tree_util.keystr(k): (k, v) for k, v in
+                jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    flat_pre = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_flatten_with_path(pre)[0]}
+
+    loaded, frozen_keys = {}, set()
+    for ks, (k, v) in flat_new.items():
+        if ks in flat_pre and flat_pre[ks].shape == v.shape:
+            loaded[ks] = flat_pre[ks]
+            if "out_conv" not in ks:  # train the output layer
+                frozen_keys.add(ks)
+        else:
+            loaded[ks] = v
+
+    treedef = jax.tree_util.tree_structure(state.params)
+    new_params = jax.tree_util.tree_unflatten(
+        treedef, [loaded[jax.tree_util.keystr(k)]
+                  for k, _ in jax.tree_util.tree_flatten_with_path(state.params)[0]])
+    freeze_mask = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(0.0 if jax.tree_util.keystr(k) in frozen_keys else 1.0)
+                  for k, _ in jax.tree_util.tree_flatten_with_path(state.params)[0]])
+    return state.replace(params=new_params, freeze_mask=freeze_mask), freeze_mask
+
+
+def unfreeze_all(state: TrainState) -> TrainState:
+    """--unfreeze_after epoch gate (train_reconstruct.py:657-661)."""
+    return state.replace(freeze_mask=None)

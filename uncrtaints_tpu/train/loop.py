@@ -1,0 +1,186 @@
+"""The shared train/val/test epoch loop.
+
+Re-hosting of the reference's ``iterate()``
+(/root/reference/model/train_reconstruct.py:279-447) on the jitted engine:
+one device call per batch (the whole optimizer step is fused), per-item
+image metrics at eval, TensorBoard panels, plot/export hooks, and epoch-end
+calibration (ECE discard curve, UCE/AUCE).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uncrtaints_tpu.config import Config
+from uncrtaints_tpu.metrics import (
+    img_metrics, AvgImgMetrics, compute_ece, compute_uce_auce,
+)
+from uncrtaints_tpu.train.observe import (
+    Writer, plot_img, export, plot_discard, plot_err_vs_var,
+)
+
+S2_BANDS = 13
+
+
+def log_aleatoric(writer: Writer, cfg: Config, mode: str, step: int,
+                  var: np.ndarray, name: str = "",
+                  img_meter: Optional[AvgImgMetrics] = None):
+    """Aleatoric-uncertainty panels (train_reconstruct.py:182-221).
+    var: [B, 1, H, W, C]."""
+    avg_var = var.mean(axis=-1, keepdims=True)  # over bands
+    flat = avg_var[0, 0].reshape(-1)
+    q50 = float(np.median(flat))
+    q75 = float(np.quantile(flat, 0.75))
+    writer.add_image(f"Img/{mode}/{name}aleatoric [0,1]",
+                     np.clip(avg_var[0, 0], 0, 1), step)
+    writer.add_image(f"Img/{mode}/{name}aleatoric [0,q75]",
+                     np.clip(avg_var[0, 0], 0, q75) / (q75 or 1.0), step)
+    writer.add_histogram(f"Hist/{mode}/{name}aleatoric",
+                         np.clip(flat, 0, 1), step)
+    writer.add_scalar(f"{mode}/{name}aleatoric median all", q50, step)
+    writer.add_scalar(f"{mode}/{name}aleatoric q75 all", q75, step)
+    if img_meter is not None:
+        vals = img_meter.value()
+        if "UCE SE" in vals:
+            writer.add_scalar(f"{mode}/{name}UCE SE", vals["UCE SE"], step)
+            writer.add_scalar(f"{mode}/{name}AUCE SE", vals["AUCE SE"], step)
+
+
+def log_train(writer: Writer, cfg: Config, step: int, batch: Dict,
+              pred: np.ndarray, loss: float, var: Optional[np.ndarray] = None):
+    """Periodic train logging (train_reconstruct.py:224-258)."""
+    writer.add_scalar(f"train/{cfg.loss}", loss, step)
+    writer.add_scalar("train/total", loss, step)
+    x, y, in_m = batch["x"], batch["y"], batch["masks"]
+    if cfg.use_sar:
+        writer.add_image("Img/train/in_s1", x[0][..., :1], step)
+        writer.add_image("Img/train/in_s2", x[0][..., [5, 4, 3]], step)
+    else:
+        writer.add_image("Img/train/in_s2", x[0][..., [3, 2, 1]], step)
+    writer.add_image("Img/train/out", pred[0, 0][..., [3, 2, 1]], step)
+    writer.add_image("Img/train/y", y[0, 0][..., [3, 2, 1]], step)
+    writer.add_image("Img/train/m", in_m[0][..., None], step)
+    # cloud coverage: covered at ALL (AND) or ANY (OR) time points
+    and_m = np.prod(in_m, axis=1, keepdims=True)
+    or_m = np.clip(np.sum(in_m, axis=1, keepdims=True), 0, 1)
+    writer.add_scalar("train/OR m %", float(or_m.mean()), step)
+    writer.add_scalar("train/AND m %", float(and_m.mean()), step)
+    writer.add_image("Img/train/AND m", and_m[0][..., None], step)
+    writer.add_image("Img/train/OR m", or_m[0][..., None], step)
+    if var is not None:
+        log_aleatoric(writer, cfg, "train", step, var)
+
+
+def _device_batch(batch: Dict) -> Dict:
+    out = {}
+    for k, v in batch.items():
+        out[k] = jnp.asarray(v) if v is not None else None
+    return out
+
+
+def iterate(state, loader, cfg: Config, writer: Optional[Writer],
+            mode: str, epoch: int, train_step=None, eval_step=None,
+            base_rng: Optional[jax.Array] = None) -> Tuple:
+    """One epoch over ``loader``. Returns (state, metrics, img_metrics|None).
+
+    metrics: {f'{mode}_epoch_time', f'{mode}_loss'}; for val/test also the
+    averaged image metrics dict (as the reference returns them)."""
+    if len(loader) == 0:
+        raise ValueError("Received data loader with zero samples!")
+    if base_rng is None:
+        base_rng = jax.random.PRNGKey(cfg.rdm_seed)
+
+    img_meter = AvgImgMetrics()
+    losses = []
+    errs, errs_se, errs_ae, vars_aleatoric = [], [], [], []
+    n_seen = 0
+
+    t_start = time.time()
+    for i, batch in enumerate(loader):
+        dev = _device_batch(batch)
+        step = (epoch - 1) * len(loader) + i
+
+        if mode == "train":
+            state, aux = train_step(state, dev, jax.random.fold_in(base_rng, step))
+            loss = float(aux["loss"])
+            if writer is not None and step % cfg.display_step == 0:
+                pred = np.asarray(aux["pred"])
+                var = np.asarray(aux["var"]) if "var" in aux else None
+                log_train(writer, cfg, step, batch, pred, loss, var=var)
+        else:
+            aux = eval_step(state, dev)
+            loss = float(aux["loss"])
+            pred = np.asarray(aux["pred"])
+            var = np.asarray(aux["var"]) if "var" in aux else None
+            y = batch["y"]
+            B = y.shape[0]
+            for bdx in range(B):
+                if cfg.loss in ("GNLL", "MGNLL"):
+                    em = img_metrics(jnp.asarray(y[bdx]), jnp.asarray(pred[bdx]),
+                                     var=jnp.asarray(var[bdx]), pixelwise=False)
+                    vars_aleatoric.append(em["mean var"])
+                    errs.append(em["error"])
+                    errs_se.append(em["mean se"])
+                    errs_ae.append(em["mean ae"])
+                else:
+                    em = img_metrics(jnp.asarray(y[bdx]), jnp.asarray(pred[bdx]))
+                img_meter.add(em)
+
+                idx = i * B + bdx
+                if cfg.plot_every > 0 and idx % cfg.plot_every == 0:
+                    plot_dir = os.path.join(cfg.res_dir, cfg.experiment_name,
+                                            "plots", f"epoch_{epoch}", mode)
+                    plot_img(batch["x"][bdx], "in", plot_dir, file_id=idx)
+                    plot_img(pred[bdx], "pred", plot_dir, file_id=idx)
+                    plot_img(y[bdx], "target", plot_dir, file_id=idx)
+                    err_img = ((pred[bdx] - y[bdx]) ** 2).mean(-1, keepdims=True)
+                    plot_img(err_img, "err", plot_dir, file_id=idx)
+                    if var is not None:
+                        plot_img(var[bdx].mean(-1, keepdims=True), "var",
+                                 plot_dir, file_id=idx)
+                if cfg.export_every > 0 and idx % cfg.export_every == 0:
+                    export_dir = os.path.join(cfg.res_dir, cfg.experiment_name,
+                                              "export", f"epoch_{epoch}", mode)
+                    export(pred[bdx], "pred", export_dir, file_id=idx)
+                    export(y[bdx], "target", export_dir, file_id=idx)
+                    if var is not None:
+                        export(var[bdx], "var", export_dir, file_id=idx)
+            n_seen += B
+
+        losses.append(loss)
+
+    total_time = time.time() - t_start
+    print(f"Epoch time : {total_time:.1f}s")
+    metrics = {f"{mode}_epoch_time": total_time,
+               f"{mode}_loss": float(np.mean(losses))}
+
+    if mode == "train":
+        return state, metrics, None
+
+    # --- eval epoch end: scalar logs + calibration -----------------------
+    last_step = epoch * len(loader)
+    if writer is not None:
+        for key, val in img_meter.value().items():
+            if np.ndim(val) == 0 and np.isfinite(val):
+                writer.add_scalar(f"{mode}/{key}", float(val), last_step)
+        writer.add_scalar(f"{mode}/loss", metrics[f"{mode}_loss"], last_step)
+
+    if cfg.loss in ("GNLL", "MGNLL") and len(vars_aleatoric) > 0:
+        sorted_errors_se = compute_ece(vars_aleatoric, errs_se, n_seen, percent=5)
+        plot_discard(sorted_errors_se, cfg, mode, last_step, writer, is_se=True)
+        uce, auce, detail = compute_uce_auce(vars_aleatoric, errs, n_seen,
+                                             percent=5, l2=True)
+        plot_err_vs_var(detail, mode, last_step, writer, l2=True)
+        img_meter["UCE SE"] = uce
+        img_meter["AUCE SE"] = auce
+        if writer is not None:
+            log_aleatoric(writer, cfg, mode, last_step,
+                          np.asarray(aux["var"]), "model/", img_meter)
+
+    return state, metrics, img_meter.value()
