@@ -198,9 +198,12 @@ def main(cfg: Config) -> dict:
         save_checkpoint(cfg, epoch, state, f"model_epoch_{epoch}", lr)
         print(f"Completed current epoch of experiment {cfg.experiment_name}.")
 
-    # test the best checkpoint
+    # test the best checkpoint (fall back to the last epoch if validation
+    # never ran and no best-on-val checkpoint exists)
     print("Testing best epoch . . .")
-    state, _ = load_checkpoint(cfg, cfg.res_dir, state, "model")
+    best_path = os.path.join(exp_dir, "model.ckpt")
+    best_name = "model" if os.path.exists(best_path) else f"model_epoch_{cfg.epochs}"
+    state, _ = load_checkpoint(cfg, cfg.res_dir, state, best_name)
     state, test_metrics, test_img_metrics = iterate(
         state, test_loader, cfg, writer, "test", cfg.epochs,
         eval_step=eval_step)
