@@ -1,0 +1,113 @@
+"""Numerical-parity harness: ported reference weights must reproduce the
+PyTorch forward (BASELINE.md north star: <=1e-3 RMSE; we target fp32 noise).
+
+Builds the actual reference model from /root/reference (skipped when the
+reference checkout is absent), exports its randomly-initialized state_dict,
+imports it through models/torch_import.py, and compares full forward passes
+on identical inputs."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference/model"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout unavailable")
+
+
+def _build_reference_model(**kw):
+    sys.path.insert(0, REF)
+    import torch
+    from src.backbones.uncrtaints import UNCRTAINTS
+
+    defaults = dict(input_dim=15, encoder_widths=[128],
+                    decoder_widths=[128] * 5, out_conv=[26],
+                    out_nonlin_mean=True, out_nonlin_var="softplus",
+                    agg_mode="att_group", encoder_norm="group",
+                    decoder_norm="batch", n_head=16, d_model=256, d_k=4,
+                    pad_value=0, padding_mode="reflect",
+                    positional_encoding=True, covmode="diag", scale_by=10.0,
+                    separate_out=False, use_v=False, block_type="mbconv",
+                    is_mono=False)
+    defaults.update(kw)
+    torch.manual_seed(0)
+    model = UNCRTAINTS(**defaults)
+    model.eval()
+    return model, defaults
+
+
+@pytest.mark.parametrize("block_type", ["mbconv"])
+def test_forward_parity_with_ported_weights(block_type):
+    import torch
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.models.torch_import import import_uncrtaints
+
+    ref_model, d = _build_reference_model(block_type=block_type)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, mean_nonLinearity=True,
+                        block_type=block_type))
+    model = get_generator(cfg)
+
+    rng = np.random.default_rng(0)
+    B, T, H, W, C = 1, 3, 64, 64, 15
+    x = rng.random((B, T, C, H, W), dtype=np.float32)  # NCHW for torch
+    dates = rng.integers(0, 1400, (B, T)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x),
+                            batch_positions=torch.from_numpy(dates)).numpy()
+
+    x_nhwc = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+    variables = model.init(jax.random.PRNGKey(0), x_nhwc,
+                           batch_positions=jnp.asarray(dates))
+    variables, matched, missing = import_uncrtaints(variables, sd, cfg)
+    assert not missing, f"unmatched torch keys: {missing}"
+    # every torch parameter tensor must be consumed (num_batches_tracked is
+    # torch bookkeeping with no flax analogue)
+    unconsumed = [k for k in sd if k not in matched
+                  and "num_batches_tracked" not in k]
+    assert not unconsumed, f"unconsumed reference weights: {unconsumed}"
+
+    out = model.apply(variables, x_nhwc, batch_positions=jnp.asarray(dates))
+    out_nchw = np.asarray(out).transpose(0, 1, 4, 2, 3)
+
+    rmse = float(np.sqrt(np.mean((out_nchw - ref_out) ** 2)))
+    max_abs = float(np.abs(out_nchw - ref_out).max())
+    print(f"parity rmse={rmse:.2e} max_abs={max_abs:.2e}")
+    assert rmse < 1e-3, f"RMSE {rmse} exceeds parity budget"
+    assert max_abs < 1e-2, f"max abs diff {max_abs}"
+
+
+def test_forward_parity_mono():
+    import torch
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.models.torch_import import import_uncrtaints
+
+    ref_model, d = _build_reference_model(is_mono=True, input_dim=15,
+                                          positional_encoding=False)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, mean_nonLinearity=True,
+                        pretrain=True))
+    model = get_generator(cfg)
+
+    rng = np.random.default_rng(1)
+    x = rng.random((1, 1, 15, 64, 64), dtype=np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x), batch_positions=None).numpy()
+
+    x_nhwc = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+    variables = model.init(jax.random.PRNGKey(0), x_nhwc, batch_positions=None)
+    variables, matched, missing = import_uncrtaints(variables, sd, cfg)
+    assert not missing
+    out = model.apply(variables, x_nhwc, batch_positions=None)
+    out_nchw = np.asarray(out).transpose(0, 1, 4, 2, 3)
+    rmse = float(np.sqrt(np.mean((out_nchw - ref_out) ** 2)))
+    assert rmse < 1e-3, rmse

@@ -1,0 +1,190 @@
+"""PyTorch -> Flax checkpoint importer for UNCRTAINTS.
+
+Maps the reference's ``state_dict_G`` parameter names
+(/root/reference/model/src/model_utils.py:117-125 checkpoints) onto this
+framework's NHWC flax tree, including the legacy ``in_block1 -> in_block0``
+key rename the reference applies on load (model_utils.py:209-219).
+
+Weight layout transforms:
+- Conv2d  [out,in,kh,kw]      -> HWIO [kh,kw,in,out]
+- dw Conv [ch,1,kh,kw]        -> [kh,kw,1,ch]
+- Linear  [out,in]            -> [in,out]
+- Conv1d  [out,in,1]          -> Dense [in,out]
+- norms: weight->scale, bias->bias, running_mean/var -> batch_stats
+
+Used for (a) serving reference-trained checkpoints on TPU and (b) the
+numerical-parity harness (tests/test_torch_parity.py): ported weights must
+reproduce the PyTorch forward within fp32 tolerance (BASELINE.md <=1e-3
+RMSE north star).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference .pth.tar and return state_dict_G as numpy arrays."""
+    import torch
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict_G", blob)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def normalize_legacy_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """in_block1 -> in_block0 etc. (model_utils.py:209-219 rename rule).
+    Reference ModuleList entries are `in_block.{i}`; legacy checkpoints used
+    1-based indices."""
+    out = {}
+    has_zero = any(re.match(r"(in|out)_block\.0\.", k) for k in sd)
+    for k, v in sd.items():
+        m = re.match(r"(in_block|out_block)\.(\d+)\.(.*)", k)
+        if m and not has_zero:
+            k = f"{m.group(1)}.{int(m.group(2)) - 1}.{m.group(3)}"
+        out[k] = v
+    return out
+
+
+def _conv_w(w):   # [O,I,kh,kw] -> [kh,kw,I,O]
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _lin_w(w):    # [O,I] -> [I,O]
+    return np.transpose(w)
+
+
+def _conv1d_w(w):  # [O,I,1] -> [I,O]
+    return np.transpose(w[..., 0])
+
+
+def uncrtaints_mapping(cfg) -> Dict[str, Tuple[str, object]]:
+    """flax-path -> (torch-name, transform) for the UNCRTAINTS tree.
+
+    Covers the default architecture (mbconv blocks, shared out_conv, tiny
+    L-TAE); separate_out heads are included when enabled."""
+    m: Dict[str, Tuple[str, object]] = {}
+    ident = lambda a: a
+
+    def conv(flax_prefix, torch_prefix, bias=True):
+        m[f"{flax_prefix}/kernel"] = (f"{torch_prefix}.weight", _conv_w)
+        if bias:
+            m[f"{flax_prefix}/bias"] = (f"{torch_prefix}.bias", ident)
+
+    def norm(flax_prefix, torch_prefix, batch=False):
+        m[f"{flax_prefix}/scale"] = (f"{torch_prefix}.weight", ident)
+        m[f"{flax_prefix}/bias"] = (f"{torch_prefix}.bias", ident)
+        if batch:
+            m[f"B:{flax_prefix}/mean"] = (f"{torch_prefix}.running_mean", ident)
+            m[f"B:{flax_prefix}/var"] = (f"{torch_prefix}.running_var", ident)
+
+    def norm2d(flax_parent, idx, torch_prefix, kind):
+        if kind == "batch":
+            norm(f"{flax_parent}/Norm2d_{idx}/BatchNorm_0", torch_prefix,
+                 batch=True)
+        elif kind == "group":
+            norm(f"{flax_parent}/Norm2d_{idx}/GroupNorm_0", torch_prefix)
+        # instance norm has no params
+
+    def mbconv(flax_name, torch_name, kind):
+        norm2d(flax_name, 0, f"{torch_name}.conv.norm", kind)      # PreNorm
+        conv(f"{flax_name}/Conv2d_0/Conv_0", f"{torch_name}.conv.fn.0",
+             bias=False)                                           # pw
+        norm2d(flax_name, 1, f"{torch_name}.conv.fn.1", kind)
+        conv(f"{flax_name}/Conv2d_1/Conv_0", f"{torch_name}.conv.fn.3",
+             bias=False)                                           # dw
+        norm2d(flax_name, 2, f"{torch_name}.conv.fn.4", kind)
+        m[f"{flax_name}/SE_0/Dense_0/kernel"] = (
+            f"{torch_name}.conv.fn.6.fc.0.weight", _lin_w)
+        m[f"{flax_name}/SE_0/Dense_1/kernel"] = (
+            f"{torch_name}.conv.fn.6.fc.2.weight", _lin_w)
+        conv(f"{flax_name}/Conv2d_2/Conv_0", f"{torch_name}.conv.fn.7",
+             bias=False)                                           # pw-linear
+        norm2d(flax_name, 3, f"{torch_name}.conv.fn.8", kind)
+
+    def residual_block(flax_name, torch_name, kind):
+        for j, tsub in enumerate(("conv1", "conv2", "conv3")):
+            conv(f"{flax_name}/ConvLayer_{j}/Conv2d_0/Conv_0",
+                 f"{torch_name}.{tsub}.conv.0")
+            norm2d(f"{flax_name}/ConvLayer_{j}", 0,
+                   f"{torch_name}.{tsub}.conv.1", kind)
+
+    # encoder
+    conv("in_conv/ConvLayer_0/Conv2d_0/Conv_0", "in_conv.conv.conv.0")
+    norm2d("in_conv/ConvLayer_0", 0, "in_conv.conv.conv.1", cfg.encoder_norm)
+    for i in range(len(cfg.encoder_widths)):
+        if cfg.block_type == "mbconv":
+            mbconv(f"in_block{i}", f"in_block.{i}", cfg.encoder_norm)
+        else:
+            residual_block(f"in_block{i}", f"in_block.{i}", cfg.encoder_norm)
+
+    # temporal encoder (tiny L-TAE)
+    if not cfg.pretrain:
+        te = "temporal_encoder"
+        norm(f"{te}/GroupNormCT_0", f"{te}.in_norm")
+        m[f"{te}/inconv/kernel"] = (f"{te}.inconv.weight", _conv1d_w)
+        m[f"{te}/inconv/bias"] = (f"{te}.inconv.bias", ident)
+        m[f"{te}/Q"] = (f"{te}.attention_heads.Q", ident)
+        m[f"{te}/fc1_k/kernel"] = (f"{te}.attention_heads.fc1_k.weight", _lin_w)
+        m[f"{te}/fc1_k/bias"] = (f"{te}.attention_heads.fc1_k.bias", ident)
+        if cfg.use_v:
+            conv("include_v/Conv_0", "include_v")
+
+    # decoder
+    for i in range(len(cfg.decoder_widths)):
+        if cfg.block_type == "mbconv":
+            mbconv(f"out_block{i}", f"out_block.{i}", cfg.decoder_norm)
+        else:
+            residual_block(f"out_block{i}", f"out_block.{i}", cfg.decoder_norm)
+
+    # heads
+    if cfg.separate_out:
+        conv("out_conv_mean_1/ConvLayer_0/Conv2d_0/Conv_0",
+             "out_conv_mean_1.conv.conv.0")
+        conv("out_conv_var_1/ConvLayer_0/Conv2d_0/Conv_0",
+             "out_conv_var_1.conv.conv.0")
+    else:
+        conv("out_conv/ConvLayer_0/Conv2d_0/Conv_0", "out_conv.conv.conv.0")
+    return m
+
+
+def import_uncrtaints(variables, sd: Dict[str, np.ndarray], cfg):
+    """Map a reference state_dict into a flax variables dict. Returns the
+    updated variables plus lists of (matched, missing) torch keys."""
+    sd = normalize_legacy_keys(sd)
+    mapping = uncrtaints_mapping(cfg)
+
+    def keypath_str(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+
+    matched, missing = [], []
+
+    def fill(tree, prefix=""):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        leaves = []
+        for kp, leaf in flat:
+            ks = prefix + keypath_str(kp)
+            if ks in mapping:
+                tname, tf = mapping[ks]
+                if tname in sd:
+                    arr = tf(sd[tname]).astype(np.float32)
+                    assert arr.shape == leaf.shape, \
+                        f"{ks}: {arr.shape} vs {leaf.shape} (from {tname})"
+                    leaves.append(jax.numpy.asarray(arr))
+                    matched.append(tname)
+                    continue
+                missing.append(tname)
+            leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    new_params = fill(variables["params"])
+    new_vars = dict(variables)
+    new_vars["params"] = new_params
+    if "batch_stats" in variables:
+        new_vars["batch_stats"] = fill(variables["batch_stats"], prefix="B:")
+    return new_vars, matched, missing
