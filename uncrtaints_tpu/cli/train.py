@@ -137,6 +137,10 @@ def main(cfg: Config) -> dict:
     cfg = cfg.replace(N_params=n_params)
     print(f"TOTAL TRAINABLE PARAMETERS: {n_params}")
 
+    if cfg.profile:
+        from uncrtaints_tpu.train.engine import profile_flops
+        profile_flops(cfg, state, sample_dev)
+
     frozen = False
     if cfg.trained_checkp:
         print(f"Loading weights from (pre-)trained checkpoint {cfg.trained_checkp}")

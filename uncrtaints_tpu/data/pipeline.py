@@ -67,6 +67,43 @@ def collate_mono(samples, use_sar: bool = True) -> Dict[str, np.ndarray]:
     }
 
 
+def pad_collate_multi(samples, use_sar: bool = True, pad_value: float = 0.0):
+    """Variable-T collation: right-pad each sample's temporal axis to the
+    batch max (src/utils.py:20-73 pad_collate semantics). Padded frames are
+    all ``pad_value`` so models recover the pad mask; padded dates are 0.
+
+    TPU note: to bound XLA recompiles, bucket your max_T upstream -- every
+    distinct padded length compiles one program."""
+    max_t = max(len(s["input"]["S2"]) for s in samples)
+
+    def pad_t(arr, t):  # [T, ...] -> [max_t, ...]
+        if arr.shape[0] == t == max_t:
+            return arr
+        pad = [(0, max_t - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad, constant_values=pad_value)
+
+    xs, ys, dates, masks = [], [], [], []
+    for s in samples:
+        t = len(s["input"]["S2"])
+        s2 = np.stack([np.moveaxis(f, 0, -1) for f in s["input"]["S2"]])
+        if use_sar:
+            s1 = np.stack([np.moveaxis(f, 0, -1) for f in s["input"]["S1"]])
+            x = np.concatenate([s1, s2], axis=-1)
+        else:
+            x = s2
+        xs.append(pad_t(x, t))
+        ys.append(np.moveaxis(np.asarray(s["target"]["S2"][0]), 0, -1)[None])
+        s1_td = np.asarray(s["input"]["S1 TD"], np.float32)
+        s2_td = np.asarray(s["input"]["S2 TD"], np.float32)
+        d = (s1_td + s2_td) / 2.0 if use_sar else s2_td
+        dates.append(pad_t(d, t))
+        masks.append(pad_t(np.stack(s["input"]["masks"]).astype(np.float32), t))
+    return {"x": np.stack(xs).astype(np.float32),
+            "y": np.stack(ys).astype(np.float32),
+            "dates": np.stack(dates).astype(np.float32),
+            "masks": np.stack(masks)}
+
+
 class Subset:
     """Index-range view over a dataset (torch.utils.data.Subset analogue,
     used for --max_samples_count/--max_samples_frac caps,

@@ -44,6 +44,9 @@ class TemporalAggregator(nn.Module):
     @nn.compact
     def __call__(self, x, pad_mask=None, attn_mask=None, train: bool = False):
         B, T, H, W, C = x.shape
+        if attn_mask is not None:
+            # keep the aggregation in the feature dtype (bf16 path)
+            attn_mask = attn_mask.astype(x.dtype)
         if self.mode == "att_group":
             attn = _match_resolution(attn_mask, (H, W))       # [B,T,H,W,h]
             if attn.shape[2] > attn_mask.shape[2] and self.dropout_rate > 0:

@@ -58,6 +58,14 @@ class Norm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # normalization statistics always run in fp32; the result is cast
+        # back to the incoming (possibly bf16) activation dtype
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        out = self._norm(x, train)
+        return out.astype(in_dtype)
+
+    def _norm(self, x, train: bool):
         if self.norm == "batch":
             return nn.BatchNorm(
                 use_running_average=not train,

@@ -70,12 +70,15 @@ class GroupNormCT(nn.Module):
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         xg = x.reshape(B, T, H, W, g, C // g)
         mean = xg.mean(axis=(1, 5), keepdims=True)
         var = xg.var(axis=(1, 5), keepdims=True)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
         x = xg.reshape(B, T, H, W, C)
-        return x * scale + bias
+        return (x * scale.astype(jnp.float32)
+                + bias.astype(jnp.float32)).astype(in_dtype)
 
 
 class LTAE2dtiny(nn.Module):
@@ -104,7 +107,7 @@ class LTAE2dtiny(nn.Module):
             pe = positional_encoding_table(
                 batch_positions.astype(jnp.float32),
                 self.d_model // h, T=self.T, repeat=h)  # [B, T, d_model]
-            out = out + pe[:, :, None, None, :]
+            out = out + pe[:, :, None, None, :].astype(out.dtype)
 
         # keys [B,T,H,W,h,d_k]; learned queries Q[h,d_k]
         k = nn.Dense(h * d_k, kernel_init=dense_kernel_init,
@@ -112,7 +115,8 @@ class LTAE2dtiny(nn.Module):
         k = k.reshape(*k.shape[:-1], h, d_k)
         q = self.param("Q", nn.initializers.normal(np.sqrt(2.0 / d_k)), (h, d_k))
 
-        logits = jnp.einsum("bthwnk,nk->bthwn", k, q) / np.sqrt(d_k)
+        logits = jnp.einsum("bthwnk,nk->bthwn", k, q,
+                            preferred_element_type=jnp.float32) / np.sqrt(d_k)
         if pad_mask is not None:
             logits = jnp.where(pad_mask[:, :, None, None, None], -1e3, logits)
         attn = jax.nn.softmax(logits, axis=1)  # over T
@@ -147,7 +151,7 @@ class LTAE2d(nn.Module):
             pe = positional_encoding_table(
                 batch_positions.astype(jnp.float32),
                 self.d_model // h, T=self.T, repeat=h)
-            out = out + pe[:, :, None, None, :]
+            out = out + pe[:, :, None, None, :].astype(out.dtype)
 
         k = nn.Dense(h * d_k, kernel_init=dense_kernel_init,
                      bias_init=bias_normal_init, name="fc1_k")(out)

@@ -92,6 +92,25 @@ def _split_out(out, cfg: Config):
     return mean, var
 
 
+def _compute_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _cast_for_forward(cfg: Config, params, x):
+    """Mixed precision: fp32 master params, bf16 forward compute.
+
+    Params and activations are cast to the compute dtype; normalization
+    layers internally re-cast to fp32 for statistics (models/layers.py
+    Norm2d), and the loss runs on fp32-upcast outputs. Gradients of the
+    cast flow back to the fp32 master tree (standard mixed precision)."""
+    dt = _compute_dtype(cfg)
+    if dt == jnp.float32:
+        return params, x
+    cast = lambda t: jax.tree.map(
+        lambda p: p.astype(dt) if p.dtype == jnp.float32 else p, t)
+    return cast(params), x.astype(dt)
+
+
 def make_train_step(cfg: Config) -> Callable:
     """Build the jitted train step. Batch dict (already on device):
     x [B,T,H,W,C], y [B,1,H,W,13], dates [B,T] or None, masks (unused here).
@@ -108,11 +127,12 @@ def make_train_step(cfg: Config) -> Callable:
         dates = batch.get("dates")
 
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+            fwd_params, xc = _cast_for_forward(cfg, params, x)
+            variables = {"params": fwd_params, "batch_stats": state.batch_stats}
             out, mutated = state.apply_fn(
-                variables, x, batch_positions=dates, train=True,
+                variables, xc, batch_positions=dates, train=True,
                 mutable=["batch_stats"], rngs={"dropout": dropout_rng})
-            mean, var = _split_out(out, cfg)
+            mean, var = _split_out(out.astype(jnp.float32), cfg)
             loss, variance = calc_loss(criterion, cfg, mean, y, var=var)
             return loss, (mutated.get("batch_stats", state.batch_stats),
                           mean, variance)
@@ -135,6 +155,35 @@ def make_train_step(cfg: Config) -> Callable:
     return train_step
 
 
+def profile_flops(cfg: Config, state: TrainState, batch) -> Optional[float]:
+    """MFLOPs per input sample via XLA cost analysis.
+
+    The reference computes this with fvcore FlopCountAnalysis under
+    ``--profile`` (base_model.py:64-71); here the compiled HLO itself is the
+    source of truth. Returns MFLOPs/sample or None when the backend does not
+    expose a cost model."""
+    def fwd(variables, x, dates):
+        return state.apply_fn(variables, x, batch_positions=dates,
+                              train=False)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    try:
+        compiled = jax.jit(fwd).lower(
+            variables, batch["x"], batch.get("dates")).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = cost.get("flops")
+        if flops is None:
+            return None
+        mflops = flops * 1e-6 / batch["x"].shape[0]
+        print(f"MFLOP count: {mflops}")
+        return mflops
+    except Exception as e:  # cost model availability differs per backend
+        print(f"profile_flops unavailable: {e}")
+        return None
+
+
 def make_eval_step(cfg: Config) -> Callable:
     """Jitted no-grad eval step: forward + loss + rescale
     (the reference's val/test branch, train_reconstruct.py:302-315)."""
@@ -145,10 +194,11 @@ def make_eval_step(cfg: Config) -> Callable:
     def eval_step(state: TrainState, batch) -> Dict:
         x = s * batch["x"]
         y = s * batch["y"]
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        out = state.apply_fn(variables, x, batch_positions=batch.get("dates"),
+        fwd_params, xc = _cast_for_forward(cfg, state.params, x)
+        variables = {"params": fwd_params, "batch_stats": state.batch_stats}
+        out = state.apply_fn(variables, xc, batch_positions=batch.get("dates"),
                              train=False)
-        mean, var = _split_out(out, cfg)
+        mean, var = _split_out(out.astype(jnp.float32), cfg)
         loss, variance = calc_loss(criterion, cfg, mean, y, var=var)
         aux = {"loss": loss, "pred": mean / s}
         if variance is not None:
