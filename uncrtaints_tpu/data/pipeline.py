@@ -25,15 +25,21 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
+def _hwc(frame) -> np.ndarray:
+    """CHW -> HWC via the native kernel when available (uncrtaints_tpu.native)."""
+    from uncrtaints_tpu import native
+    return native.chw_to_hwc(np.ascontiguousarray(frame, dtype=np.float32))
+
+
 def collate_multi(samples, use_sar: bool = True) -> Dict[str, np.ndarray]:
     """Stack sample dicts into one NHWC multi-temporal batch."""
     xs, ys, dates, masks = [], [], [], []
     for s in samples:
-        s1 = np.stack([np.moveaxis(f, 0, -1) for f in s["input"]["S1"]])  # [T,H,W,2]
-        s2 = np.stack([np.moveaxis(f, 0, -1) for f in s["input"]["S2"]])  # [T,H,W,13]
+        s1 = np.stack([_hwc(f) for f in s["input"]["S1"]])  # [T,H,W,2]
+        s2 = np.stack([_hwc(f) for f in s["input"]["S2"]])  # [T,H,W,13]
         x = np.concatenate([s1, s2], axis=-1) if use_sar else s2
         xs.append(x)
-        ys.append(np.moveaxis(np.asarray(s["target"]["S2"][0]), 0, -1)[None])
+        ys.append(_hwc(np.asarray(s["target"]["S2"][0]))[None])
         s1_td = np.asarray(s["input"]["S1 TD"], np.float32)
         s2_td = np.asarray(s["input"]["S2 TD"], np.float32)
         dates.append((s1_td + s2_td) / 2.0 if use_sar else s2_td)

@@ -1,0 +1,109 @@
+"""ctypes bindings for the native host-pipeline kernels.
+
+Compiles uncrtaints_tpu/native/preprocess.cpp into a cached shared library
+on first use (g++ -O3 -fopenmp) and exposes numpy-facing wrappers. Every
+entry point has a pure-numpy fallback so environments without a compiler
+keep working; ``available()`` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+_SRC = os.path.join(os.path.dirname(__file__), "preprocess.cpp")
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    cache_dir = os.path.join(tempfile.gettempdir(), "uncrtaints_tpu_native")
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"preprocess_{tag}.so")
+    if not os.path.exists(so_path):
+        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+               _SRC, "-o", so_path]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    lib = ctypes.CDLL(so_path)
+    i64, f32p, u16p, ci = (ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                           ctypes.POINTER(ctypes.c_uint16), ctypes.c_int)
+    lib.ms_u16_chw_to_hwc_rescale.argtypes = [u16p, f32p, i64, i64, i64, ci]
+    lib.ms_f32_chw_to_hwc_rescale.argtypes = [f32p, f32p, i64, i64, i64, ci]
+    lib.sar_f32_chw_to_hwc_rescale.argtypes = [f32p, f32p, i64, i64, i64]
+    lib.f32_chw_to_hwc.argtypes = [f32p, f32p, i64, i64, i64]
+    return lib
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        _LIB = _build()
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def ms_chw_to_hwc_rescale(chw: np.ndarray, method: str = "default") -> np.ndarray:
+    """Fused MS radiometry + CHW->HWC. chw: [C,H,W] uint16 or float32.
+    Returns [H,W,C] float32 (process_MS parity)."""
+    C, H, W = chw.shape
+    out = np.empty((H, W, C), np.float32)
+    lib = _lib()
+    resnet = 1 if method == "resnet" else 0
+    if lib is not None and chw.flags.c_contiguous:
+        if chw.dtype == np.uint16:
+            lib.ms_u16_chw_to_hwc_rescale(_ptr(chw, ctypes.c_uint16),
+                                          _ptr(out, ctypes.c_float),
+                                          C, H, W, resnet)
+            return out
+        if chw.dtype == np.float32:
+            lib.ms_f32_chw_to_hwc_rescale(_ptr(chw, ctypes.c_float),
+                                          _ptr(out, ctypes.c_float),
+                                          C, H, W, resnet)
+            return out
+    # numpy fallback
+    from uncrtaints_tpu.data.preprocess import process_MS
+    return np.moveaxis(process_MS(chw.astype(np.float32), method), 0, -1)
+
+
+def sar_chw_to_hwc_rescale(chw: np.ndarray) -> np.ndarray:
+    """Fused SAR 'default' radiometry + CHW->HWC. chw: [C,H,W] float32."""
+    C, H, W = chw.shape
+    lib = _lib()
+    if lib is not None and chw.dtype == np.float32 and chw.flags.c_contiguous:
+        out = np.empty((H, W, C), np.float32)
+        lib.sar_f32_chw_to_hwc_rescale(_ptr(chw, ctypes.c_float),
+                                       _ptr(out, ctypes.c_float), C, H, W)
+        return out
+    from uncrtaints_tpu.data.preprocess import process_SAR
+    return np.moveaxis(process_SAR(chw.astype(np.float32)), 0, -1)
+
+
+def chw_to_hwc(chw: np.ndarray) -> np.ndarray:
+    """Layout-only CHW->HWC transpose."""
+    C, H, W = chw.shape
+    lib = _lib()
+    if lib is not None and chw.dtype == np.float32 and chw.flags.c_contiguous:
+        out = np.empty((H, W, C), np.float32)
+        lib.f32_chw_to_hwc(_ptr(chw, ctypes.c_float),
+                           _ptr(out, ctypes.c_float), C, H, W)
+        return out
+    return np.ascontiguousarray(np.moveaxis(chw, 0, -1))
