@@ -45,6 +45,17 @@ def softplus_t20(x):
     return jnp.where(x > 20.0, x, jax.nn.softplus(x))
 
 
+def _moments_f32(x, axes, keepdims: bool = True):
+    """Mean/variance with fp32 accumulation fused into the reductions.
+
+    jnp.mean(..., dtype=f32) lets XLA upcast inside the reduce; no fp32
+    tensor the size of x is materialized even when x is bf16."""
+    m = jnp.mean(x, axis=axes, keepdims=keepdims, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes,
+                  keepdims=keepdims, dtype=jnp.float32)
+    return m, jnp.maximum(m2 - jnp.square(m), 0.0)
+
+
 class Norm2d(nn.Module):
     """Config-selected normalization over NHWC feature maps.
 
@@ -58,29 +69,56 @@ class Norm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # normalization statistics always run in fp32; the result is cast
-        # back to the incoming (possibly bf16) activation dtype
-        in_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        out = self._norm(x, train)
-        return out.astype(in_dtype)
-
-    def _norm(self, x, train: bool):
+        """Mixed-precision norms: statistics accumulate in fp32 (the cast is
+        fused INTO the reduction -- no fp32 copy of the activation is ever
+        materialized, critical for HBM-bound bf16 models), while the
+        elementwise application runs in the activation dtype."""
         if self.norm == "batch":
-            return nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,  # torch momentum 0.1 == flax 0.9
-                epsilon=1e-5,
-                scale_init=bn_scale_init,
-            )(x)
+            return self._batch_norm(x, train)
         if self.norm == "instance":
-            # per-(sample, channel) stats over H, W; torch default affine=False
-            mean = x.mean(axis=(-3, -2), keepdims=True)
-            var = x.var(axis=(-3, -2), keepdims=True)
-            return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+            m, v = _moments_f32(x, axes=(-3, -2))
+            coef = jax.lax.rsqrt(v + 1e-5)
+            return ((x - m.astype(x.dtype)) * coef.astype(x.dtype))
         if self.norm == "group":
-            return nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5)(x)
+            B = x.shape[0]
+            C = x.shape[-1]
+            g = self.n_groups
+            scale = self.param("scale", nn.initializers.ones, (C,))
+            bias = self.param("bias", nn.initializers.zeros, (C,))
+            xg = x.reshape(B, -1, g, C // g)
+            m, v = _moments_f32(xg, axes=(1, 3))  # [B,1,g,1]
+            coef = jax.lax.rsqrt(v + 1e-5)
+            y = (xg - m.astype(x.dtype)) * coef.astype(x.dtype)
+            y = y.reshape(x.shape)
+            return y * scale.astype(x.dtype) + bias.astype(x.dtype)
         return x
+
+    def _batch_norm(self, x, train: bool):
+        """BatchNorm2d parity (eps 1e-5, torch momentum 0.1) with fp32
+        running stats and bf16-safe application."""
+        C = x.shape[-1]
+        scale = self.param("scale", bn_scale_init, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            m, v = _moments_f32(x, axes=axes, keepdims=False)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                # torch tracks the UNBIASED variance in running stats
+                unbiased = v * (n / max(n - 1, 1))
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * m
+                ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
+        else:
+            m, v = ra_mean.value, ra_var.value
+        coef = (jax.lax.rsqrt(v + 1e-5) * scale).astype(x.dtype)
+        offs = (bias - m * jax.lax.rsqrt(v + 1e-5) * scale).astype(x.dtype)
+        return x * coef + offs
 
 
 class Conv2d(nn.Module):

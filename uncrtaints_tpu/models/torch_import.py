@@ -83,11 +83,12 @@ def uncrtaints_mapping(cfg) -> Dict[str, Tuple[str, object]]:
             m[f"B:{flax_prefix}/var"] = (f"{torch_prefix}.running_var", ident)
 
     def norm2d(flax_parent, idx, torch_prefix, kind):
+        # Norm2d keeps scale/bias (and batch running stats) directly on its
+        # own scope for both batch & group kinds
         if kind == "batch":
-            norm(f"{flax_parent}/Norm2d_{idx}/BatchNorm_0", torch_prefix,
-                 batch=True)
+            norm(f"{flax_parent}/Norm2d_{idx}", torch_prefix, batch=True)
         elif kind == "group":
-            norm(f"{flax_parent}/Norm2d_{idx}/GroupNorm_0", torch_prefix)
+            norm(f"{flax_parent}/Norm2d_{idx}", torch_prefix)
         # instance norm has no params
 
     def mbconv(flax_name, torch_name, kind):
