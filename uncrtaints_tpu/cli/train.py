@@ -104,6 +104,11 @@ def main(cfg: Config) -> dict:
     exp_dir = os.path.join(cfg.res_dir, cfg.experiment_name)
     os.makedirs(exp_dir, exist_ok=True)
     seed_everything(cfg.rdm_seed)
+    if cfg.debug_nans:
+        # functional fault isolation: aborts the step that produced a NaN
+        jax.config.update("jax_debug_nans", True)
+    if cfg.trace_dir:
+        jax.profiler.start_trace(cfg.trace_dir)
     pprint.pprint(cfg.to_dict())
 
     writer = Writer(os.path.join(os.path.dirname(cfg.res_dir) or ".",
@@ -201,6 +206,10 @@ def main(cfg: Config) -> dict:
 
         save_checkpoint(cfg, epoch, state, f"model_epoch_{epoch}", lr)
         print(f"Completed current epoch of experiment {cfg.experiment_name}.")
+
+    if cfg.trace_dir:
+        jax.profiler.stop_trace()
+        print(f"Wrote profiler trace to {cfg.trace_dir}")
 
     # test the best checkpoint (fall back to the last epoch if validation
     # never ran and no best-on-val checkpoint exists)

@@ -140,6 +140,9 @@ class Config:
     compute_dtype: str = "bfloat16"      # matmul/conv compute dtype on TPU
     cloud_masks: str = "cloud_cloudshadow_mask"  # on-device threshold detector
     synthetic_data: bool = False         # use the synthetic data source (tests/bench)
+    remat: bool = False                  # rematerialize conv blocks (memory<->FLOPs)
+    debug_nans: bool = False             # jax_debug_nans for fault isolation
+    trace_dir: str = ""                  # jax.profiler trace output directory
 
     # bookkeeping (filled by derive())
     pid: int = 0
@@ -274,6 +277,11 @@ def create_parser(mode: str = "train") -> argparse.ArgumentParser:
     p.add_argument("--cloud_masks", default=d.cloud_masks, type=str,
                    help="cloud mask detector [cloud_cloudshadow_mask|s2cloudless_map|s2cloudless_mask|none]")
     p.add_argument("--synthetic_data", dest="synthetic_data", action="store_true")
+    p.add_argument("--remat", dest="remat", action="store_true",
+                   help="rematerialize conv blocks to cut activation memory")
+    p.add_argument("--debug_nans", dest="debug_nans", action="store_true")
+    p.add_argument("--trace_dir", default="", type=str,
+                   help="write a jax.profiler trace of the first train steps")
     return p
 
 

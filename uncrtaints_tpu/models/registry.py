@@ -44,6 +44,7 @@ def get_generator(cfg: Config) -> nn.Module:
             block_type=cfg.block_type,
             is_mono=cfg.pretrain,
             low_res_size=cfg.low_res_size,
+            remat=cfg.remat,
         )
     if "unet3d" in cfg.model:
         from uncrtaints_tpu.models.unet3d import UNet3D

@@ -67,6 +67,7 @@ class UNCRTAINTS(nn.Module):
     block_type: str = "mbconv"
     is_mono: bool = False
     low_res_size: int = 32
+    remat: bool = False  # jax.checkpoint each conv block (trade FLOPs for HBM)
 
     @property
     def mean_idx(self) -> int:
@@ -84,18 +85,23 @@ class UNCRTAINTS(nn.Module):
         pad_mask = jnp.all(x == self.pad_value, axis=(2, 3, 4))  # [B, T]
 
         # SPATIAL ENCODER (time folded into batch; uncrtaints.py:397-400)
+        # static_argnums=(2,): `train` drives Python control flow (dropout
+        # determinism) and must stay concrete under the remat trace
+        mb_cls = nn.remat(MBConv, static_argnums=(2,)) if self.remat else MBConv
+        res_cls = (nn.remat(ResidualConvBlock, static_argnums=(2,))
+                   if self.remat else ResidualConvBlock)
         out = ConvBlock([self.input_dim, self.encoder_widths[0]],
                         k=1, s=1, p=0, norm=self.encoder_norm,
                         padding_mode=self.padding_mode,
                         name="in_conv")(x, train=train)
         for i, w in enumerate(self.encoder_widths):
             if self.block_type == "mbconv":
-                out = MBConv(w, w, expansion=2, norm=self.encoder_norm,
-                             name=f"in_block{i}")(out, train=train)
+                out = mb_cls(w, w, expansion=2, norm=self.encoder_norm,
+                             name=f"in_block{i}")(out, train)
             elif self.block_type == "residual":
-                out = ResidualConvBlock(w, norm=self.encoder_norm,
-                                        padding_mode=self.padding_mode,
-                                        name=f"in_block{i}")(out, train=train)
+                out = res_cls(w, norm=self.encoder_norm,
+                              padding_mode=self.padding_mode,
+                              name=f"in_block{i}")(out, train)
             else:
                 raise NotImplementedError(self.block_type)
 
@@ -137,12 +143,12 @@ class UNCRTAINTS(nn.Module):
         # SPATIAL DECODER (uncrtaints.py:421-422)
         for i, w in enumerate(self.decoder_widths):
             if self.block_type == "mbconv":
-                out = MBConv(w, w, expansion=2, norm=self.decoder_norm,
-                             name=f"out_block{i}")(out, train=train)
+                out = mb_cls(w, w, expansion=2, norm=self.decoder_norm,
+                             name=f"out_block{i}")(out, train)
             else:
-                out = ResidualConvBlock(w, norm=self.decoder_norm,
-                                        padding_mode=self.padding_mode,
-                                        name=f"out_block{i}")(out, train=train)
+                out = res_cls(w, norm=self.decoder_norm,
+                              padding_mode=self.padding_mode,
+                              name=f"out_block{i}")(out, train)
 
         # OUTPUT HEADS (uncrtaints.py:376-381, 424-432)
         if self.separate_out:
