@@ -26,7 +26,8 @@ def main():
     from uncrtaints_tpu.models import get_generator
     from uncrtaints_tpu.train import create_train_state, make_eval_step
 
-    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=16, lr=1e-3))
+    # B=8 is the HBM sweet spot with the fused-norm bf16 path
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=8, lr=1e-3))
     model = get_generator(cfg)
 
     B, T, H, W = cfg.batch_size, cfg.input_t, 256, 256
