@@ -129,14 +129,30 @@ def main(cfg: Config) -> dict:
     val_loader = mk_loader(dt_val, False, cfg.rdm_seed)
     test_loader = mk_loader(dt_test, False, cfg.rdm_seed)
 
+    # device mesh: params replicated, batch sharded over the data axis
+    # (single-device meshes degenerate to plain jit; multi-host call
+    # jax.distributed.initialize() before this point)
+    from uncrtaints_tpu.parallel import (
+        make_mesh, batch_sharding as mk_bs, replicated_sharding)
+    n_dev = cfg.mesh_shape or len(jax.devices())
+    mesh = make_mesh(n_dev)
+    bsh = mk_bs(mesh) if n_dev > 1 else None
+    if cfg.batch_size % n_dev != 0 and n_dev > 1:
+        raise ValueError(f"batch_size {cfg.batch_size} must be divisible by "
+                         f"the {n_dev}-device mesh")
+    print(f"Device mesh: {n_dev} x data-parallel")
+
     # model + engine
     model = get_generator(cfg)
     sample = next(iter(mk_loader(dt_train, False, cfg.rdm_seed)))
     import jax.numpy as jnp
-    sample_dev = {k: (jnp.asarray(v) if v is not None else None)
+    sample_dev = {k: (jax.device_put(v, bsh) if (bsh is not None and v is not None)
+                      else (jnp.asarray(v) if v is not None else None))
                   for k, v in sample.items()}
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.rdm_seed),
                                sample_dev)
+    if bsh is not None:
+        state = jax.device_put(state, replicated_sharding(mesh))
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(state.params))
     cfg = cfg.replace(N_params=n_params)
@@ -184,13 +200,13 @@ def main(cfg: Config) -> dict:
 
         state, train_metrics, _ = iterate(
             state, train_loader, cfg, writer, "train", epoch,
-            train_step=train_step, base_rng=base_rng)
+            train_step=train_step, base_rng=base_rng, batch_sharding=bsh)
 
         if epoch % cfg.val_every == 0 and epoch > cfg.val_after:
             print("Validation . . . ")
             state, val_metrics, val_img_metrics = iterate(
                 state, val_loader, cfg, writer, "val", epoch,
-                eval_step=eval_step)
+                eval_step=eval_step, batch_sharding=bsh)
             val_loss = val_metrics["val_loss"]
             print(f"Validation Loss {val_loss}")
             print(f"validation image metrics: {val_img_metrics}")
@@ -219,7 +235,7 @@ def main(cfg: Config) -> dict:
     state, _ = load_checkpoint(cfg, cfg.res_dir, state, best_name)
     state, test_metrics, test_img_metrics = iterate(
         state, test_loader, cfg, writer, "test", cfg.epochs,
-        eval_step=eval_step)
+        eval_step=eval_step, batch_sharding=bsh)
     print(f"Test Loss {test_metrics['test_loss']}")
     print(f"Test image metrics: {test_img_metrics}")
     save_results(test_img_metrics, exp_dir, split="test")

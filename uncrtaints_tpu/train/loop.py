@@ -77,16 +77,23 @@ def log_train(writer: Writer, cfg: Config, step: int, batch: Dict,
         log_aleatoric(writer, cfg, "train", step, var)
 
 
-def _device_batch(batch: Dict) -> Dict:
+def _device_batch(batch: Dict, sharding=None) -> Dict:
+    """Host batch -> device arrays; batch-sharded over the mesh when given
+    (params stay replicated; XLA inserts the gradient psum over ICI)."""
     out = {}
     for k, v in batch.items():
-        out[k] = jnp.asarray(v) if v is not None else None
+        if v is None:
+            out[k] = None
+        elif sharding is not None:
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = jnp.asarray(v)
     return out
 
 
 def iterate(state, loader, cfg: Config, writer: Optional[Writer],
             mode: str, epoch: int, train_step=None, eval_step=None,
-            base_rng: Optional[jax.Array] = None) -> Tuple:
+            base_rng: Optional[jax.Array] = None, batch_sharding=None) -> Tuple:
     """One epoch over ``loader``. Returns (state, metrics, img_metrics|None).
 
     metrics: {f'{mode}_epoch_time', f'{mode}_loss'}; for val/test also the
@@ -103,7 +110,7 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
 
     t_start = time.time()
     for i, batch in enumerate(loader):
-        dev = _device_batch(batch)
+        dev = _device_batch(batch, batch_sharding)
         step = (epoch - 1) * len(loader) + i
 
         if mode == "train":
