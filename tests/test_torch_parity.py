@@ -111,3 +111,48 @@ def test_forward_parity_mono():
     out_nchw = np.asarray(out).transpose(0, 1, 4, 2, 3)
     rmse = float(np.sqrt(np.mean((out_nchw - ref_out) ** 2)))
     assert rmse < 1e-3, rmse
+
+
+def test_unet_forward_parity_with_ported_weights():
+    import torch
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.models.torch_import import import_unet
+
+    sys.path.insert(0, REF)
+    from src.backbones.utae import UNet as RefUNet
+
+    torch.manual_seed(0)
+    widths = [16, 16, 32]
+    # unet derives loss='l2' -> out_conv stays [13] (train_reconstruct.py:39-45)
+    ref_model = RefUNet(input_dim=15, encoder_widths=widths,
+                        decoder_widths=widths, out_conv=[13],
+                        out_nonlin_mean=True, out_nonlin_var="softplus",
+                        encoder_norm="group", norm_skip="batch",
+                        norm_up="batch", decoder_norm="batch")
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    cfg = derive(Config(model="unet", use_sar=True, scale_by=10.0,
+                        mean_nonLinearity=True, loss="MGNLL",
+                        encoder_widths=widths, decoder_widths=widths))
+    model = get_generator(cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 1, 32, 32, 15), dtype=np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables, matched, missing = import_unet(variables, sd, cfg)
+    assert not missing, missing
+    unconsumed = [k for k in sd if k not in matched
+                  and "num_batches_tracked" not in k]
+    assert not unconsumed, unconsumed
+
+    with torch.no_grad():  # the reference UNet expects 5-D [B,T=1,C,H,W]
+        ref_out = ref_model(torch.from_numpy(
+            x.transpose(0, 1, 4, 2, 3))).numpy()
+
+    out = model.apply(variables, jnp.asarray(x))
+    out_nchw = np.asarray(out).transpose(0, 1, 4, 2, 3)
+    rmse = float(np.sqrt(np.mean((out_nchw - ref_out) ** 2)))
+    print(f"unet parity rmse={rmse:.2e}")
+    assert rmse < 1e-3, rmse

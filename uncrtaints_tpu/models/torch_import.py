@@ -153,12 +153,68 @@ def uncrtaints_mapping(cfg) -> Dict[str, Tuple[str, object]]:
     return m
 
 
+def _convT_w(w):  # torch ConvTranspose2d [in,out,kh,kw] -> flax flipped HWIO
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+
+
+def unet_mapping(cfg) -> Dict[str, Tuple[str, object]]:
+    """flax-path -> (torch-name, transform) for the UNet pretrain backbone
+    (utae.py:27-201: in_conv, strided DownConvBlocks, UpConvBlocks with
+    skip/up branches, out_conv)."""
+    m: Dict[str, Tuple[str, object]] = {}
+    ident = lambda a: a
+
+    def conv(fp, tp, bias=True):
+        m[f"{fp}/kernel"] = (f"{tp}.weight", _conv_w)
+        if bias:
+            m[f"{fp}/bias"] = (f"{tp}.bias", ident)
+
+    def norm(fp, tp, batch=False):
+        m[f"{fp}/scale"] = (f"{tp}.weight", ident)
+        m[f"{fp}/bias"] = (f"{tp}.bias", ident)
+        if batch:
+            m[f"B:{fp}/mean"] = (f"{tp}.running_mean", ident)
+            m[f"B:{fp}/var"] = (f"{tp}.running_var", ident)
+
+    def convlayer(fp, tp, kind):
+        conv(f"{fp}/Conv2d_0/Conv_0", f"{tp}.conv.0")
+        if kind in ("group", "batch"):
+            norm(f"{fp}/Norm2d_0", f"{tp}.conv.1", batch=(kind == "batch"))
+
+    n = len(cfg.encoder_widths)
+    enc, dec = cfg.encoder_norm, cfg.decoder_norm
+    convlayer("in_conv/ConvLayer_0", "in_conv.conv", enc)
+    for i in range(n - 1):
+        convlayer(f"down_block{i}/ConvLayer_0", f"down_blocks.{i}.down", enc)
+        convlayer(f"down_block{i}/ConvLayer_1", f"down_blocks.{i}.conv1", enc)
+        convlayer(f"down_block{i}/ConvLayer_2", f"down_blocks.{i}.conv2", enc)
+    for i in range(n - 1):
+        ub = f"up_block{i}"
+        tb = f"up_blocks.{i}"
+        conv(f"{ub}/Conv2d_0/Conv_0", f"{tb}.skip_conv.0")
+        norm(f"{ub}/Norm2d_0", f"{tb}.skip_conv.1", batch=True)  # norm_skip
+        m[f"{ub}/ConvTranspose_0/kernel"] = (f"{tb}.up.0.weight", _convT_w)
+        m[f"{ub}/ConvTranspose_0/bias"] = (f"{tb}.up.0.bias", ident)
+        norm(f"{ub}/Norm2d_1", f"{tb}.up.1", batch=True)         # norm_up
+        convlayer(f"{ub}/ConvLayer_0", f"{tb}.conv1", dec)
+        convlayer(f"{ub}/ConvLayer_1", f"{tb}.conv2", dec)
+    conv("out_conv/ConvLayer_0/Conv2d_0/Conv_0", "out_conv.conv.conv.0")
+    return m
+
+
+def import_unet(variables, sd: Dict[str, np.ndarray], cfg):
+    """Map a reference UNet state_dict into the flax tree."""
+    return _import_with_mapping(variables, sd, unet_mapping(cfg))
+
+
 def import_uncrtaints(variables, sd: Dict[str, np.ndarray], cfg):
     """Map a reference state_dict into a flax variables dict. Returns the
     updated variables plus lists of (matched, missing) torch keys."""
     sd = normalize_legacy_keys(sd)
-    mapping = uncrtaints_mapping(cfg)
+    return _import_with_mapping(variables, sd, uncrtaints_mapping(cfg))
 
+
+def _import_with_mapping(variables, sd, mapping):
     def keypath_str(kp):
         return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
                         for k in kp)

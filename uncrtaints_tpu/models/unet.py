@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -71,8 +72,11 @@ class UpConvBlock(nn.Module):
         s = nn.relu(s)
 
         # upsample branch: stride-2 transposed conv (out = 2 * in)
+        # HIGHEST precision: XLA's default conv_transpose path computes in
+        # reduced precision, which breaks checkpoint-import parity
         up = nn.ConvTranspose(self.d_out, kernel_size=(self.k, self.k),
                               strides=(self.s, self.s), padding="SAME",
+                              precision=jax.lax.Precision.HIGHEST,
                               kernel_init=conv_kernel_init,
                               bias_init=bias_normal_init)(x)
         if self.norm_up in ("group", "batch", "instance"):
