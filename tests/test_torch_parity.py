@@ -156,3 +156,53 @@ def test_unet_forward_parity_with_ported_weights():
     rmse = float(np.sqrt(np.mean((out_nchw - ref_out) ** 2)))
     print(f"unet parity rmse={rmse:.2e}")
     assert rmse < 1e-3, rmse
+
+
+def test_utae_forward_parity_with_ported_weights():
+    import torch
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.models.torch_import import import_utae
+
+    sys.path.insert(0, REF)
+    from src.backbones.utae import UTAE as RefUTAE
+
+    torch.manual_seed(0)
+    widths = [16, 16, 32]
+    ref_model = RefUTAE(input_dim=15, encoder_widths=widths,
+                        decoder_widths=widths, out_conv=[13],
+                        out_nonlin_mean=True, out_nonlin_var="softplus",
+                        agg_mode="att_group", encoder_norm="group",
+                        norm_skip="batch", norm_up="batch",
+                        decoder_norm="batch", n_head=4, d_model=32, d_k=4,
+                        positional_encoding=True, scale_by=10.0)
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    cfg = derive(Config(model="utae", use_sar=True, scale_by=10.0,
+                        mean_nonLinearity=True,
+                        encoder_widths=widths, decoder_widths=widths,
+                        n_head=4, d_model=32, d_k=4))
+    model = get_generator(cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 3, 32, 32, 15), dtype=np.float32)
+    dates = rng.integers(0, 1400, (1, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           batch_positions=jnp.asarray(dates))
+    variables, matched, missing = import_utae(variables, sd, cfg)
+    assert not missing, missing
+    unconsumed = [k for k in sd if k not in matched
+                  and "num_batches_tracked" not in k]
+    assert not unconsumed, unconsumed
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x.transpose(0, 1, 4, 2, 3)),
+                            batch_positions=torch.from_numpy(dates)).numpy()
+
+    out = model.apply(variables, jnp.asarray(x),
+                      batch_positions=jnp.asarray(dates))
+    out_nchw = np.asarray(out).transpose(0, 1, 4, 2, 3)
+    rmse = float(np.sqrt(np.mean((out_nchw - ref_out) ** 2)))
+    print(f"utae parity rmse={rmse:.2e}")
+    assert rmse < 1e-3, rmse

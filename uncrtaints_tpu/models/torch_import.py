@@ -207,6 +207,36 @@ def import_unet(variables, sd: Dict[str, np.ndarray], cfg):
     return _import_with_mapping(variables, sd, unet_mapping(cfg))
 
 
+def utae_mapping(cfg) -> Dict[str, Tuple[str, object]]:
+    """U-TAE = UNet blocks + a full L-TAE (value path + MLP) bottleneck
+    (utae.py:205-406, ltae.py:10-141)."""
+    m = unet_mapping(cfg)
+    ident = lambda a: a
+    te = "temporal_encoder"
+    m[f"{te}/in_norm/scale"] = (f"{te}.in_norm.weight", ident)
+    m[f"{te}/in_norm/bias"] = (f"{te}.in_norm.bias", ident)
+    m[f"{te}/inconv/kernel"] = (f"{te}.inconv.weight", _conv1d_w)
+    m[f"{te}/inconv/bias"] = (f"{te}.inconv.bias", ident)
+    m[f"{te}/Q"] = (f"{te}.attention_heads.Q", ident)
+    m[f"{te}/fc1_k/kernel"] = (f"{te}.attention_heads.fc1_k.weight", _lin_w)
+    m[f"{te}/fc1_k/bias"] = (f"{te}.attention_heads.fc1_k.bias", ident)
+    # MLP: Linear -> BatchNorm1d -> ReLU (ltae.py:74-84)
+    m[f"{te}/Dense_0/kernel"] = (f"{te}.mlp.0.weight", _lin_w)
+    m[f"{te}/Dense_0/bias"] = (f"{te}.mlp.0.bias", ident)
+    m[f"{te}/BatchNorm_0/scale"] = (f"{te}.mlp.1.weight", ident)
+    m[f"{te}/BatchNorm_0/bias"] = (f"{te}.mlp.1.bias", ident)
+    m[f"B:{te}/BatchNorm_0/mean"] = (f"{te}.mlp.1.running_mean", ident)
+    m[f"B:{te}/BatchNorm_0/var"] = (f"{te}.mlp.1.running_var", ident)
+    m[f"{te}/out_norm/scale"] = (f"{te}.out_norm.weight", ident)
+    m[f"{te}/out_norm/bias"] = (f"{te}.out_norm.bias", ident)
+    return m
+
+
+def import_utae(variables, sd: Dict[str, np.ndarray], cfg):
+    """Map a reference UTAE state_dict into the flax tree."""
+    return _import_with_mapping(variables, sd, utae_mapping(cfg))
+
+
 def import_uncrtaints(variables, sd: Dict[str, np.ndarray], cfg):
     """Map a reference state_dict into a flax variables dict. Returns the
     updated variables plus lists of (matched, missing) torch keys."""
