@@ -206,3 +206,36 @@ def test_utae_forward_parity_with_ported_weights():
     rmse = float(np.sqrt(np.mean((out_nchw - ref_out) ** 2)))
     print(f"utae parity rmse={rmse:.2e}")
     assert rmse < 1e-3, rmse
+
+
+def test_pth_tar_file_round_trip(tmp_path):
+    """load_torch_state_dict must read an actual reference-format .pth.tar
+    (the dict layout save_model writes, model_utils.py:117-125)."""
+    import torch
+    from uncrtaints_tpu.models.torch_import import (
+        load_torch_state_dict, normalize_legacy_keys)
+
+    ref_model, _ = _build_reference_model(encoder_widths=[16],
+                                          decoder_widths=[16] * 2,
+                                          n_head=4, d_model=32, out_conv=[26])
+    path = tmp_path / "model.pth.tar"
+    torch.save({"epoch": 3,
+                "state_dict": {"netG." + k: v for k, v in
+                               ref_model.state_dict().items()},
+                "state_dict_G": ref_model.state_dict(),
+                "optimizer_G": {}, "scheduler_G": {}}, str(path))
+
+    sd = load_torch_state_dict(str(path))
+    assert "in_conv.conv.conv.0.weight" in sd
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+
+    # legacy 1-indexed block checkpoints get renamed on load
+    legacy = {k.replace("in_block.0.", "in_block.1.")
+               .replace("out_block.0.", "out_block.1.")
+               .replace("out_block.1.conv", "out_block.1.conv"): v
+              for k, v in sd.items()}
+    legacy = {k: v for k, v in legacy.items()}
+    fixed = normalize_legacy_keys(
+        {k.replace("in_block.0.", "in_block.1."): v for k, v in sd.items()
+         if "out_block" not in k})
+    assert any(k.startswith("in_block.0.") for k in fixed)

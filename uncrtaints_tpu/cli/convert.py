@@ -15,7 +15,8 @@ import argparse
 
 def create_parser():
     p = argparse.ArgumentParser()
-    p.add_argument("--root", required=True, type=str)
+    p.add_argument("--root", default=None, type=str,
+                   help="dataset root (required unless --synthetic_data)")
     p.add_argument("--split", default="train", type=str)
     p.add_argument("--region", default="all", type=str)
     p.add_argument("--cloud_masks", default="cloud_cloudshadow_mask", type=str)
@@ -28,6 +29,9 @@ def create_parser():
 
 def main(args) -> str:
     from uncrtaints_tpu.data.hdf5 import convert_to_hdf5
+
+    if not args.synthetic_data and not args.root:
+        raise SystemExit("--root is required unless --synthetic_data is set")
 
     if args.synthetic_data:
         # synthetic generic-mode stand-in: full series per patch
