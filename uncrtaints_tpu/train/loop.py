@@ -33,6 +33,26 @@ def log_aleatoric(writer: Writer, cfg: Config, mode: str, step: int,
                   img_meter: Optional[AvgImgMetrics] = None):
     """Aleatoric-uncertainty panels (train_reconstruct.py:182-221).
     var: [B, 1, H, W, C]."""
+    # patch-covariance matshow figures (train_reconstruct.py:184-201):
+    # with diagonal covariance the spatially-averaged patch covmat is
+    # diag(mean var per band)
+    if cfg.loss == "MGNLL" and writer is not None:
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+        patch_diag = var.mean(axis=(1, 2, 3))         # [B, C]
+        for bdx in range(min(2, patch_diag.shape[0])):
+            img = np.diag(patch_diag[bdx])
+            max_abs = max(abs(float(img.min())), abs(float(img.max()))) or 1.0
+            for tag, lim in (("relative", max_abs), ("absolute", 0.25)):
+                fig, ax = plt.subplots()
+                ax.matshow(img, cmap="seismic", vmin=-lim, vmax=lim)
+                ax.axis("off")
+                fig.tight_layout()
+                writer.add_figure(
+                    f"Img/{mode}/patch covmat {tag} {bdx}", fig, step)
+                plt.close(fig)
+
     avg_var = var.mean(axis=-1, keepdims=True)  # over bands
     flat = avg_var[0, 0].reshape(-1)
     q50 = float(np.median(flat))
