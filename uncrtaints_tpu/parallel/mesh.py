@@ -19,16 +19,25 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    """1-D data-parallel mesh over the first ``n_devices`` devices.
+
+    Raises if fewer than ``n_devices`` devices are available -- a silently
+    shrunken mesh would let multi-chip checks "pass" on one device.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available ({[d.platform for d in devices]})")
         devices = devices[:n_devices]
-    return Mesh(jax.experimental.mesh_utils.create_device_mesh(
+    return Mesh(mesh_utils.create_device_mesh(
         (len(devices),), devices=devices), axis_names=("data",))
 
 
