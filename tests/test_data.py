@@ -227,3 +227,43 @@ def test_loader_determinism_and_epoch_reshuffle():
     c = [b["x"].sum() for b in dl]
     assert a != c                      # reshuffled across epochs
     assert len(dl) == 4
+
+
+def test_random_sampler_reproduces_across_resume():
+    """The 'random' sampler rng is a pure function of (seed, epoch_count):
+    a fresh dataset replayed to epoch k samples identically to one that
+    trained through epochs 0..k (VERDICT r1 item 5; reference analogue
+    train_reconstruct.py:99-109,663-676)."""
+    from uncrtaints_tpu.data.sen12mscrts import SEN12MSCRTS
+
+    def mk():
+        # custom_samples=[] skips filesystem indexing; we only exercise the
+        # sampler rng plumbing
+        ds = SEN12MSCRTS("/nonexistent", split="all", sampler="random",
+                         n_input_samples=3, custom_samples=[], seed=7)
+        ds.custom_samples = None
+        return ds
+
+    # many clear frames (<1e-3) so the random target choice actually varies
+    cov = [0.0 if i % 2 == 0 else 0.5 for i in range(30)]
+    a, b = mk(), mk()
+    # identical seeds -> identical choices, epoch by epoch
+    for _ in range(3):
+        assert a._sample_indices(cov) == b._sample_indices(cov)
+        a.incr_epoch_count()
+        b.incr_epoch_count()
+
+    # resume: c jumps straight to a's epoch (3 increments above) and must
+    # match its state
+    c = mk()
+    c.set_epoch_count(3)
+    seq_a = [a._sample_indices(cov) for _ in range(5)]
+    seq_c = [c._sample_indices(cov) for _ in range(5)]
+    assert seq_a == seq_c
+
+    # different seed -> (eventually) different choices
+    d = SEN12MSCRTS("/nonexistent", split="all", sampler="random",
+                    n_input_samples=3, custom_samples=[], seed=8)
+    d.set_epoch_count(3)
+    seq_d = [d._sample_indices(cov) for _ in range(5)]
+    assert seq_a != seq_d

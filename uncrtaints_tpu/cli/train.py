@@ -86,7 +86,7 @@ def build_datasets(cfg: Config):
         sampler="random" if cfg.vary_samples else "fixed",
         n_input_samples=cfg.input_t,
         import_data_path=import_from_path("train", cfg),
-        min_cov=cfg.min_cov, max_cov=cfg.max_cov)
+        min_cov=cfg.min_cov, max_cov=cfg.max_cov, seed=cfg.rdm_seed)
     dt_val = SEN12MSCRTS(
         os.path.expanduser(cfg.root2), split="val", region="all",
         sample_type=cfg.sample_type, cloud_masks=cfg.cloud_masks,
@@ -195,8 +195,13 @@ def main(cfg: Config) -> dict:
 
         if cfg.vary_samples:
             train_loader.set_epoch(epoch)  # epoch-seeded reshuffle
-            if hasattr(dt_train, "incr_epoch_count") and epoch > 1:
-                dt_train.incr_epoch_count()
+            # epoch_count drives the 'random' sampler rng; set (not
+            # increment) so resumed runs land on the same per-epoch state
+            base = dt_train.dataset if hasattr(dt_train, "dataset") else dt_train
+            if hasattr(base, "set_epoch_count"):
+                base.set_epoch_count(epoch - 1)
+            elif hasattr(base, "incr_epoch_count") and epoch > 1:
+                base.incr_epoch_count()
 
         state, train_metrics, _ = iterate(
             state, train_loader, cfg, writer, "train", epoch,

@@ -76,6 +76,8 @@ class HDF5SEN12MSCRTS:
         self.sampling = sampler
         self.min_cov, self.max_cov = min_cov, max_cov
         self.method = rescale_method
+        self.seed = seed
+        self.epoch_count = 0
         self._rng = np.random.default_rng(seed)
         self._file = None
         with h5py.File(path, "r") as f:
@@ -83,6 +85,15 @@ class HDF5SEN12MSCRTS:
 
     def __len__(self):
         return len(self.keys)
+
+    def incr_epoch_count(self):
+        self.set_epoch_count(self.epoch_count + 1)
+
+    def set_epoch_count(self, epoch_count: int):
+        """Sampler rng is a pure function of (seed, epoch_count) so resumed
+        runs reproduce the same 'random' sample choices per epoch."""
+        self.epoch_count = epoch_count
+        self._rng = np.random.default_rng(self.seed + epoch_count)
 
     @property
     def file(self):

@@ -89,7 +89,7 @@ class SEN12MSCRTS:
                  n_input_samples: int = 3, rescale_method: str = "default",
                  min_cov: float = 0.0, max_cov: float = 1.0,
                  import_data_path: Optional[str] = None,
-                 custom_samples=None):
+                 custom_samples=None, seed: int = 1):
         assert split in ("all", "train", "val", "test"), \
             "split must be all|train|val|test"
         assert sample_type in ("generic", "cloudy_cloudfree"), \
@@ -113,7 +113,12 @@ class SEN12MSCRTS:
         self.method = rescale_method
         self.min_cov, self.max_cov = min_cov, max_cov
         self.epoch_count = 0
-        self._rng = np.random.default_rng()  # random sampler source
+        # 'random' sampling is a pure function of (seed, epoch_count) so
+        # vary_samples epochs reproduce across resumed runs -- the epoch-wise
+        # analogue of the reference's global seeding + per-epoch generator
+        # reseed (train_reconstruct.py:89-109,663-676)
+        self.seed = seed
+        self._rng = np.random.default_rng(seed)
 
         if self.vary_samples and split in ("val", "test"):
             warnings.warn(f"Loading {split} split, but sampled time points "
@@ -232,7 +237,13 @@ class SEN12MSCRTS:
         return self.n_samples
 
     def incr_epoch_count(self):
-        self.epoch_count += 1
+        self.set_epoch_count(self.epoch_count + 1)
+
+    def set_epoch_count(self, epoch_count: int):
+        """Jump to an epoch (resume path): the sampler rng state depends only
+        on (seed, epoch_count), never on how many epochs actually ran here."""
+        self.epoch_count = epoch_count
+        self._rng = np.random.default_rng(self.seed + epoch_count)
 
     # ------------------------------------------------------------------ #
 
