@@ -15,9 +15,11 @@ Math parity (all verified against a numpy/scipy re-derivation in tests):
 - shadow: CSI=(B08+B11)/2 vs adaptive thresholds on CSI and blue band,
   5x5 median filter
 - merged mask: shadows -> -1, clouds -> +1, binarized to {0,1}
-- s2cloudless modes (ML detector) need the external LightGBM model; when
-  the optional `s2cloudless` package is absent we fall back to the
-  threshold detector with a warning (dataLoader.py:216-218 gating).
+- s2cloudless modes (ML detector): served by the optional `s2cloudless`
+  package if installed, else by the self-contained LightGBM tree-inference
+  port in data/s2cloudless.py (weights file via $S2CLOUDLESS_MODEL_PATH);
+  only when neither yields a detector do we fall back to the threshold
+  detector with a warning (dataLoader.py:216-218 gating).
 
 Input convention: `img` is the RAW (unrescaled) S2 stack, bands on the LAST
 axis ([..., H, W, 13], NHWC) in [0, 10000].
@@ -108,13 +110,27 @@ def get_cloud_cloudshadow_mask(img: jax.Array,
 cloud_cloudshadow_mask_batched = jax.jit(get_cloud_cloudshadow_mask)
 
 
+_S2C_CACHE = {"detector": None, "tried": False}
+
+
 def _try_s2cloudless():
+    if _S2C_CACHE["tried"]:
+        return _S2C_CACHE["detector"]
+    _S2C_CACHE["tried"] = True
+    _S2C_CACHE["detector"] = _build_s2cloudless()
+    return _S2C_CACHE["detector"]
+
+
+def _build_s2cloudless():
     try:
         from s2cloudless import S2PixelCloudDetector  # optional dependency
         return S2PixelCloudDetector(threshold=0.4, all_bands=True,
                                     average_over=4, dilation_size=2)
     except ImportError:
-        return None
+        # self-contained LightGBM inference (data/s2cloudless.py); needs the
+        # standard weights file on disk ($S2CLOUDLESS_MODEL_PATH)
+        from uncrtaints_tpu.data.s2cloudless import make_detector
+        return make_detector()
 
 
 _S2C_WARNED = False
