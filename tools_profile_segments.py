@@ -113,7 +113,7 @@ def main():
     t_ltae = bench("LTAE2dtiny 32x32", ltae, vl, xl, dates)
 
     # --- aggregator: upsample attn + weighted T-sum ---
-    att = jnp.asarray(rng.random((16, B, T, 32, 32), dtype=np.float32)).astype(bf)
+    att = jnp.asarray(rng.random((B, T, 32, 32, 16), dtype=np.float32)).astype(bf)
     agg = TemporalAggregator(mode="att_group")
     va = agg.init(key, xs, pad_mask=None, attn_mask=att)
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from uncrtaints_tpu.config import Config
 from uncrtaints_tpu.metrics import (
-    img_metrics, AvgImgMetrics, compute_ece, compute_uce_auce,
+    img_metrics_batch, AvgImgMetrics, compute_ece, compute_uce_auce,
 )
 from uncrtaints_tpu.train.observe import (
     Writer, plot_img, export, plot_discard, plot_err_vs_var,
@@ -143,23 +143,30 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
         else:
             aux = eval_step(state, dev)
             loss = float(aux["loss"])
-            pred = np.asarray(aux["pred"])
-            var = np.asarray(aux["var"]) if "var" in aux else None
             y = batch["y"]
             B = y.shape[0]
+            # whole-batch metrics in ONE jitted call; pred/var stay on
+            # device unless a plot/export item actually needs them
+            has_var = cfg.loss in ("GNLL", "MGNLL") and "var" in aux
+            bm = img_metrics_batch(dev["y"], aux["pred"],
+                                   var=aux["var"] if has_var else None)
+            pred = var = None  # host copies, materialized lazily below
             for bdx in range(B):
-                if cfg.loss in ("GNLL", "MGNLL"):
-                    em = img_metrics(jnp.asarray(y[bdx]), jnp.asarray(pred[bdx]),
-                                     var=jnp.asarray(var[bdx]), pixelwise=False)
+                em = {k: float(v[bdx]) for k, v in bm.items()}
+                if has_var:
                     vars_aleatoric.append(em["mean var"])
                     errs.append(em["error"])
                     errs_se.append(em["mean se"])
                     errs_ae.append(em["mean ae"])
-                else:
-                    em = img_metrics(jnp.asarray(y[bdx]), jnp.asarray(pred[bdx]))
                 img_meter.add(em)
 
                 idx = i * B + bdx
+                need_host = (
+                    (cfg.plot_every > 0 and idx % cfg.plot_every == 0)
+                    or (cfg.export_every > 0 and idx % cfg.export_every == 0))
+                if need_host and pred is None:
+                    pred = np.asarray(aux["pred"])
+                    var = np.asarray(aux["var"]) if "var" in aux else None
                 if cfg.plot_every > 0 and idx % cfg.plot_every == 0:
                     plot_dir = os.path.join(cfg.res_dir, cfg.experiment_name,
                                             "plots", f"epoch_{epoch}", mode)
