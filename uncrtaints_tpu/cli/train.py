@@ -120,20 +120,30 @@ def main(cfg: Config) -> dict:
     dt_train, dt_val, dt_test = cap(dt_train), cap(dt_val), cap(dt_test)
     print(f"Train {len(dt_train)}, Val {len(dt_val)}, Test {len(dt_test)}")
 
+    # multi-host: initialize jax.distributed when coordination env vars are
+    # set; each host then feeds a disjoint strided shard of the dataset and
+    # its slice of the global batch (SURVEY.md section 2 DCN plan)
+    from uncrtaints_tpu.parallel import (
+        make_mesh, batch_sharding as mk_bs, replicated_sharding,
+        maybe_init_distributed)
+    host, n_hosts = maybe_init_distributed()
+    if cfg.batch_size % n_hosts != 0:
+        raise ValueError(f"batch_size {cfg.batch_size} must be divisible by "
+                         f"the {n_hosts} participating hosts")
+    per_host_bs = cfg.batch_size // n_hosts
+    host_shard = (host, n_hosts) if n_hosts > 1 else None
+
     collate = collate_mono if cfg.pretrain else collate_multi
     mk_loader = lambda ds, shuffle, seed: BatchLoader(
-        ds, batch_size=cfg.batch_size, shuffle=shuffle, seed=seed,
+        ds, batch_size=per_host_bs, shuffle=shuffle, seed=seed,
         collate=collate, use_sar=cfg.use_sar,
-        num_workers=max(1, cfg.num_workers))
+        num_workers=max(1, cfg.num_workers), shard=host_shard)
     train_loader = mk_loader(dt_train, True, cfg.rdm_seed)
     val_loader = mk_loader(dt_val, False, cfg.rdm_seed)
     test_loader = mk_loader(dt_test, False, cfg.rdm_seed)
 
     # device mesh: params replicated, batch sharded over the data axis
-    # (single-device meshes degenerate to plain jit; multi-host call
-    # jax.distributed.initialize() before this point)
-    from uncrtaints_tpu.parallel import (
-        make_mesh, batch_sharding as mk_bs, replicated_sharding)
+    # (single-device meshes degenerate to plain jit)
     n_dev = cfg.mesh_shape or len(jax.devices())
     mesh = make_mesh(n_dev)
     bsh = mk_bs(mesh) if n_dev > 1 else None
@@ -145,10 +155,8 @@ def main(cfg: Config) -> dict:
     # model + engine
     model = get_generator(cfg)
     sample = next(iter(mk_loader(dt_train, False, cfg.rdm_seed)))
-    import jax.numpy as jnp
-    sample_dev = {k: (jax.device_put(v, bsh) if (bsh is not None and v is not None)
-                      else (jnp.asarray(v) if v is not None else None))
-                  for k, v in sample.items()}
+    from uncrtaints_tpu.train.loop import _device_batch
+    sample_dev = _device_batch(sample, bsh)
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.rdm_seed),
                                sample_dev)
     if bsh is not None:

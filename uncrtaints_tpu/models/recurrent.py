@@ -153,8 +153,9 @@ class ConvLSTMSeg(nn.Module):
         pad_mask = jnp.all(x == self.pad_value, axis=(2, 3, 4))
         _, (h, c) = ConvLSTM(self.hidden_dim, self.kernel,
                              name="convlstm_encoder")(x, pad_mask=pad_mask)
-        out = Conv2d(self.num_classes, kernel=self.kernel,
-                     pad=1, name="classification_layer")(c)
+        # reference nn.Conv2d default zero padding (convlstm.py:230-235)
+        out = Conv2d(self.num_classes, kernel=self.kernel, pad=1,
+                     padding_mode="zeros", name="classification_layer")(c)
         return out[:, None]
 
 
@@ -171,8 +172,8 @@ class ConvGRUSeg(nn.Module):
         pad_mask = jnp.all(x == self.pad_value, axis=(2, 3, 4))
         _, h = ConvGRU(self.hidden_dim, self.kernel,
                        name="convgru_encoder")(x, pad_mask=pad_mask)
-        out = Conv2d(self.num_classes, kernel=self.kernel,
-                     pad=1, name="classification_layer")(h)
+        out = Conv2d(self.num_classes, kernel=self.kernel, pad=1,
+                     padding_mode="zeros", name="classification_layer")(h)
         return out[:, None]
 
 
@@ -218,14 +219,15 @@ class RecUNet(nn.Module):
             _, (h, c) = ConvLSTM(self.hidden_dim,
                                  name="temporal_encoder")(feats[-1],
                                                           pad_mask=pad_mask)
+            # reference nn.Conv2d default zero padding (utae.py:782-787)
             out = Conv2d(self.encoder_widths[-1], kernel=3, pad=1,
-                         name="out_convlstm")(c)
+                         padding_mode="zeros", name="out_convlstm")(c)
         elif self.temporal == "blstm":
             out = BConvLSTM(self.hidden_dim,
                             name="temporal_encoder")(feats[-1],
                                                      pad_mask=pad_mask)
             out = Conv2d(self.encoder_widths[-1], kernel=3, pad=1,
-                         name="out_convlstm")(out)
+                         padding_mode="zeros", name="out_convlstm")(out)
         elif self.temporal == "mono":
             out = feats[-1][:, 0]
         else:
@@ -236,13 +238,15 @@ class RecUNet(nn.Module):
                 skip = agg(feats[n - 2 - i], pad_mask=pad_mask)
             else:
                 skip = feats[n - 2 - i][:, 0]
+            # reference RecUNet leaves UpConvBlock's norm_skip/norm_up at
+            # their "batch" defaults (utae.py:758-768 passes only norm=)
             out = UpConvBlock(
                 d_in=self.decoder_widths[n - 1 - i],
                 d_out=self.decoder_widths[n - 2 - i],
                 d_skip=self.encoder_widths[n - 2 - i],
                 k=self.str_conv_k, s=self.str_conv_s,
-                norm=self.encoder_norm, norm_skip=self.encoder_norm,
-                norm_up=self.encoder_norm, padding_mode=self.padding_mode,
+                norm=self.encoder_norm, norm_skip="batch",
+                norm_up="batch", padding_mode=self.padding_mode,
                 name=f"up_block{i}")(out, skip, train=train)
 
         out = ConvBlock([self.decoder_widths[0]] + list(self.out_conv),
@@ -306,7 +310,8 @@ class FPNConvLSTM(nn.Module):
                             name="mid_conv")(out, train=train)
         _, (h, c) = ConvLSTM(self.hidden_size, name="convlstm")(
             out, pad_mask=pad_mask)
-        out = Conv2d(self.num_classes, kernel=1, pad=0, name="outconv")(c)
+        out = Conv2d(self.num_classes, kernel=1, pad=0, padding_mode="zeros",
+                     name="outconv")(c)
         return out[:, None]
 
 

@@ -93,29 +93,29 @@ def uncrtaints_mapping(cfg) -> Dict[str, Tuple[str, object]]:
 
     def mbconv(flax_name, torch_name, kind):
         norm2d(flax_name, 0, f"{torch_name}.conv.norm", kind)      # PreNorm
-        conv(f"{flax_name}/Conv2d_0/Conv_0", f"{torch_name}.conv.fn.0",
+        conv(f"{flax_name}/Conv2d_0", f"{torch_name}.conv.fn.0",
              bias=False)                                           # pw
         norm2d(flax_name, 1, f"{torch_name}.conv.fn.1", kind)
-        conv(f"{flax_name}/Conv2d_1/Conv_0", f"{torch_name}.conv.fn.3",
+        conv(f"{flax_name}/Conv2d_1", f"{torch_name}.conv.fn.3",
              bias=False)                                           # dw
         norm2d(flax_name, 2, f"{torch_name}.conv.fn.4", kind)
         m[f"{flax_name}/SE_0/Dense_0/kernel"] = (
             f"{torch_name}.conv.fn.6.fc.0.weight", _lin_w)
         m[f"{flax_name}/SE_0/Dense_1/kernel"] = (
             f"{torch_name}.conv.fn.6.fc.2.weight", _lin_w)
-        conv(f"{flax_name}/Conv2d_2/Conv_0", f"{torch_name}.conv.fn.7",
+        conv(f"{flax_name}/Conv2d_2", f"{torch_name}.conv.fn.7",
              bias=False)                                           # pw-linear
         norm2d(flax_name, 3, f"{torch_name}.conv.fn.8", kind)
 
     def residual_block(flax_name, torch_name, kind):
         for j, tsub in enumerate(("conv1", "conv2", "conv3")):
-            conv(f"{flax_name}/ConvLayer_{j}/Conv2d_0/Conv_0",
+            conv(f"{flax_name}/ConvLayer_{j}/Conv2d_0",
                  f"{torch_name}.{tsub}.conv.0")
             norm2d(f"{flax_name}/ConvLayer_{j}", 0,
                    f"{torch_name}.{tsub}.conv.1", kind)
 
     # encoder
-    conv("in_conv/ConvLayer_0/Conv2d_0/Conv_0", "in_conv.conv.conv.0")
+    conv("in_conv/ConvLayer_0/Conv2d_0", "in_conv.conv.conv.0")
     norm2d("in_conv/ConvLayer_0", 0, "in_conv.conv.conv.1", cfg.encoder_norm)
     for i in range(len(cfg.encoder_widths)):
         if cfg.block_type == "mbconv":
@@ -133,7 +133,7 @@ def uncrtaints_mapping(cfg) -> Dict[str, Tuple[str, object]]:
         m[f"{te}/fc1_k/kernel"] = (f"{te}.attention_heads.fc1_k.weight", _lin_w)
         m[f"{te}/fc1_k/bias"] = (f"{te}.attention_heads.fc1_k.bias", ident)
         if cfg.use_v:
-            conv("include_v/Conv_0", "include_v")
+            conv("include_v", "include_v")
 
     # decoder
     for i in range(len(cfg.decoder_widths)):
@@ -144,12 +144,12 @@ def uncrtaints_mapping(cfg) -> Dict[str, Tuple[str, object]]:
 
     # heads
     if cfg.separate_out:
-        conv("out_conv_mean_1/ConvLayer_0/Conv2d_0/Conv_0",
+        conv("out_conv_mean_1/ConvLayer_0/Conv2d_0",
              "out_conv_mean_1.conv.conv.0")
-        conv("out_conv_var_1/ConvLayer_0/Conv2d_0/Conv_0",
+        conv("out_conv_var_1/ConvLayer_0/Conv2d_0",
              "out_conv_var_1.conv.conv.0")
     else:
-        conv("out_conv/ConvLayer_0/Conv2d_0/Conv_0", "out_conv.conv.conv.0")
+        conv("out_conv/ConvLayer_0/Conv2d_0", "out_conv.conv.conv.0")
     return m
 
 
@@ -177,7 +177,7 @@ def unet_mapping(cfg) -> Dict[str, Tuple[str, object]]:
             m[f"B:{fp}/var"] = (f"{tp}.running_var", ident)
 
     def convlayer(fp, tp, kind):
-        conv(f"{fp}/Conv2d_0/Conv_0", f"{tp}.conv.0")
+        conv(f"{fp}/Conv2d_0", f"{tp}.conv.0")
         if kind in ("group", "batch"):
             norm(f"{fp}/Norm2d_0", f"{tp}.conv.1", batch=(kind == "batch"))
 
@@ -191,14 +191,14 @@ def unet_mapping(cfg) -> Dict[str, Tuple[str, object]]:
     for i in range(n - 1):
         ub = f"up_block{i}"
         tb = f"up_blocks.{i}"
-        conv(f"{ub}/Conv2d_0/Conv_0", f"{tb}.skip_conv.0")
+        conv(f"{ub}/Conv2d_0", f"{tb}.skip_conv.0")
         norm(f"{ub}/Norm2d_0", f"{tb}.skip_conv.1", batch=True)  # norm_skip
         m[f"{ub}/ConvTranspose_0/kernel"] = (f"{tb}.up.0.weight", _convT_w)
         m[f"{ub}/ConvTranspose_0/bias"] = (f"{tb}.up.0.bias", ident)
         norm(f"{ub}/Norm2d_1", f"{tb}.up.1", batch=True)         # norm_up
         convlayer(f"{ub}/ConvLayer_0", f"{tb}.conv1", dec)
         convlayer(f"{ub}/ConvLayer_1", f"{tb}.conv2", dec)
-    conv("out_conv/ConvLayer_0/Conv2d_0/Conv_0", "out_conv.conv.conv.0")
+    conv("out_conv/ConvLayer_0/Conv2d_0", "out_conv.conv.conv.0")
     return m
 
 
@@ -235,6 +235,154 @@ def utae_mapping(cfg) -> Dict[str, Tuple[str, object]]:
 def import_utae(variables, sd: Dict[str, np.ndarray], cfg):
     """Map a reference UTAE state_dict into the flax tree."""
     return _import_with_mapping(variables, sd, utae_mapping(cfg))
+
+
+def _conv3d_w(w):   # [O,I,kt,kh,kw] -> [kt,kh,kw,I,O]
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _convT3d_w(w):  # torch ConvTranspose3d [I,O,kt,kh,kw] -> flipped [kt,kh,kw,I,O]
+    # verified: flax ConvTranspose(padding=((1,2),)*3) with this transform
+    # matches torch ConvTranspose3d(k=3, s=2, p=1, output_padding=1) exactly
+    return np.transpose(w[:, :, ::-1, ::-1, ::-1], (2, 3, 4, 0, 1)).copy()
+
+
+def unet3d_mapping() -> Dict[str, Tuple[str, object]]:
+    """flax-path -> (torch-name, transform) for UNet3D
+    (/root/reference/model/src/backbones/unet3d.py:14-120)."""
+    m: Dict[str, Tuple[str, object]] = {}
+    ident = lambda a: a
+
+    def conv3d(fp, tp):
+        m[f"{fp}/kernel"] = (f"{tp}.weight", _conv3d_w)
+        m[f"{fp}/bias"] = (f"{tp}.bias", ident)
+
+    def bn3d(fp, tp):
+        m[f"{fp}/scale"] = (f"{tp}.weight", ident)
+        m[f"{fp}/bias"] = (f"{tp}.bias", ident)
+        m[f"B:{fp}/mean"] = (f"{tp}.running_mean", ident)
+        m[f"B:{fp}/var"] = (f"{tp}.running_var", ident)
+
+    for blk in ("en3", "en4", "dc4", "dc3"):
+        conv3d(f"{blk}/Conv_0", f"{blk}.0")
+        bn3d(f"{blk}/BatchNorm3d_0/BatchNorm_0", f"{blk}.1")
+        conv3d(f"{blk}/Conv_1", f"{blk}.3")
+        bn3d(f"{blk}/BatchNorm3d_1/BatchNorm_0", f"{blk}.4")
+    conv3d("center_in", "center_in.0")
+    bn3d("BatchNorm3d_0/BatchNorm_0", "center_in.1")
+    conv3d("Conv_0", "center_out.0")
+    bn3d("BatchNorm3d_1/BatchNorm_0", "center_out.1")
+    m["center_out/kernel"] = ("center_out.3.weight", _convT3d_w)
+    m["center_out/bias"] = ("center_out.3.bias", ident)
+    m["trans3/kernel"] = ("trans3.0.weight", _convT3d_w)
+    m["trans3/bias"] = ("trans3.0.bias", ident)
+    bn3d("BatchNorm3d_2/BatchNorm_0", "trans3.1")
+    conv3d("final", "final")
+    return m
+
+
+def import_unet3d(variables, sd: Dict[str, np.ndarray]):
+    return _import_with_mapping(variables, sd, unet3d_mapping())
+
+
+def recunet_mapping(n_stages: int, temporal: str = "lstm",
+                    encoder_norm: str = "group") -> Dict[str, Tuple[str, object]]:
+    """flax-path -> (torch-name, transform) for RecUNet (utae.py:691-852):
+    group-norm U-Net blocks, ConvLSTM/BConvLSTM bottleneck, batch-norm
+    skip/up norms (the reference leaves those at their defaults)."""
+    m: Dict[str, Tuple[str, object]] = {}
+    ident = lambda a: a
+
+    def conv(fp, tp):
+        m[f"{fp}/kernel"] = (f"{tp}.weight", _conv_w)
+        m[f"{fp}/bias"] = (f"{tp}.bias", ident)
+
+    def norm(fp, tp, batch=False):
+        m[f"{fp}/scale"] = (f"{tp}.weight", ident)
+        m[f"{fp}/bias"] = (f"{tp}.bias", ident)
+        if batch:
+            m[f"B:{fp}/mean"] = (f"{tp}.running_mean", ident)
+            m[f"B:{fp}/var"] = (f"{tp}.running_var", ident)
+
+    # in_conv: ConvBlock([in, e0, e0]) = one ConvLayer with two convs
+    conv("in_conv/ConvLayer_0/Conv2d_0", "in_conv.conv.conv.0")
+    norm("in_conv/ConvLayer_0/Norm2d_0", "in_conv.conv.conv.1")
+    conv("in_conv/ConvLayer_0/Conv2d_1", "in_conv.conv.conv.3")
+    norm("in_conv/ConvLayer_0/Norm2d_1", "in_conv.conv.conv.4")
+    for i in range(n_stages - 1):
+        for j, sub in enumerate(("down", "conv1", "conv2")):
+            conv(f"down_block{i}/ConvLayer_{j}/Conv2d_0",
+                 f"down_blocks.{i}.{sub}.conv.0")
+            norm(f"down_block{i}/ConvLayer_{j}/Norm2d_0",
+                 f"down_blocks.{i}.{sub}.conv.1")
+    if temporal in ("lstm", "blstm"):
+        if temporal == "lstm":
+            m["temporal_encoder/cell/gates/kernel"] = (
+                "temporal_encoder.cell_list.0.conv.weight", _conv_w)
+            m["temporal_encoder/cell/gates/bias"] = (
+                "temporal_encoder.cell_list.0.conv.bias", ident)
+        else:
+            for ours, theirs in (("forward", "forward"),
+                                 ("backward", "backward")):
+                m[f"temporal_encoder/{ours}/cell/gates/kernel"] = (
+                    f"temporal_encoder.{theirs}.cell_list.0.conv.weight",
+                    _conv_w)
+                m[f"temporal_encoder/{ours}/cell/gates/bias"] = (
+                    f"temporal_encoder.{theirs}.cell_list.0.conv.bias", ident)
+        conv("out_convlstm", "out_convlstm")
+    for i in range(n_stages - 1):
+        ub, tb = f"up_block{i}", f"up_blocks.{i}"
+        conv(f"{ub}/Conv2d_0", f"{tb}.skip_conv.0")
+        norm(f"{ub}/Norm2d_0", f"{tb}.skip_conv.1", batch=True)
+        m[f"{ub}/ConvTranspose_0/kernel"] = (f"{tb}.up.0.weight", _convT_w)
+        m[f"{ub}/ConvTranspose_0/bias"] = (f"{tb}.up.0.bias", ident)
+        norm(f"{ub}/Norm2d_1", f"{tb}.up.1", batch=True)
+        conv(f"{ub}/ConvLayer_0/Conv2d_0", f"{tb}.conv1.conv.0")
+        norm(f"{ub}/ConvLayer_0/Norm2d_0", f"{tb}.conv1.conv.1")
+        conv(f"{ub}/ConvLayer_1/Conv2d_0", f"{tb}.conv2.conv.0")
+        norm(f"{ub}/ConvLayer_1/Norm2d_0", f"{tb}.conv2.conv.1")
+    conv("out_conv/ConvLayer_0/Conv2d_0", "out_conv.conv.conv.0")
+    norm("out_conv/ConvLayer_0/Norm2d_0", "out_conv.conv.conv.1", batch=True)
+    return m
+
+
+def import_recunet(variables, sd: Dict[str, np.ndarray], n_stages: int,
+                   temporal: str = "lstm"):
+    return _import_with_mapping(variables, sd,
+                                recunet_mapping(n_stages, temporal))
+
+
+def fpn_mapping(n_levels: int = 5) -> Dict[str, Tuple[str, object]]:
+    """flax-path -> (torch-name, transform) for FPNConvLSTM (fpn.py:7-83)."""
+    m: Dict[str, Tuple[str, object]] = {}
+    ident = lambda a: a
+
+    def conv(fp, tp):
+        m[f"{fp}/kernel"] = (f"{tp}.weight", _conv_w)
+        m[f"{fp}/bias"] = (f"{tp}.bias", ident)
+
+    def norm(fp, tp):
+        m[f"{fp}/scale"] = (f"{tp}.weight", ident)
+        m[f"{fp}/bias"] = (f"{tp}.bias", ident)
+
+    conv("inconv/ConvLayer_0/Conv2d_0", "inconv.conv.conv.0")
+    norm("inconv/ConvLayer_0/Norm2d_0", "inconv.conv.conv.1")
+    conv("inconv/ConvLayer_0/Conv2d_1", "inconv.conv.conv.3")
+    norm("inconv/ConvLayer_0/Norm2d_1", "inconv.conv.conv.4")
+    conv("pyramid/inconv", "pyramid.inconv")
+    for i in range(n_levels - 1):
+        conv(f"pyramid/dil{i}", f"pyramid.convs.{i}")
+    conv("mid_conv/ConvLayer_0/Conv2d_0", "mid_conv.conv.conv.0")
+    norm("mid_conv/ConvLayer_0/Norm2d_0", "mid_conv.conv.conv.1")
+    m["convlstm/cell/gates/kernel"] = ("convlstm.cell_list.0.conv.weight",
+                                       _conv_w)
+    m["convlstm/cell/gates/bias"] = ("convlstm.cell_list.0.conv.bias", ident)
+    conv("outconv", "outconv")
+    return m
+
+
+def import_fpn(variables, sd: Dict[str, np.ndarray], n_levels: int = 5):
+    return _import_with_mapping(variables, sd, fpn_mapping(n_levels))
 
 
 def import_uncrtaints(variables, sd: Dict[str, np.ndarray], cfg):

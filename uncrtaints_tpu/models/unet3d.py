@@ -73,8 +73,12 @@ class UNet3D(nn.Module):
                     bias_init=bias_normal_init)(c_in)
         c = BatchNorm3d()(c, train=train)
         c = nn.leaky_relu(c, 0.01)
+        # torch ConvTranspose3d(k3,s2,p1,output_padding=1) == flax padding
+        # ((1,2),(1,2),(1,2)) with spatially-flipped IO kernel (verified
+        # numerically; "SAME" does NOT match)
         c_out = nn.ConvTranspose(f * 8, kernel_size=(3, 3, 3),
-                                 strides=(2, 2, 2), padding="SAME",
+                                 strides=(2, 2, 2),
+                                 padding=((1, 2), (1, 2), (1, 2)),
                                  kernel_init=conv_kernel_init,
                                  bias_init=bias_normal_init,
                                  name="center_out")(c)
@@ -83,7 +87,8 @@ class UNet3D(nn.Module):
             [c_out, en4[:, :c_out.shape[1]]], axis=-1)
         dc4 = Conv3dBlock(f * 8, f * 8, name="dc4")(cat4, train=train)
         tr3 = nn.ConvTranspose(f * 4, kernel_size=(3, 3, 3), strides=(2, 2, 2),
-                               padding="SAME", kernel_init=conv_kernel_init,
+                               padding=((1, 2), (1, 2), (1, 2)),
+                               kernel_init=conv_kernel_init,
                                bias_init=bias_normal_init, name="trans3")(dc4)
         tr3 = BatchNorm3d()(tr3, train=train)
         tr3 = nn.leaky_relu(tr3, 0.01)

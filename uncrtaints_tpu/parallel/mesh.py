@@ -16,11 +16,34 @@ only profitable parallel axis is batch x H x W, which data sharding covers.
 
 from __future__ import annotations
 
-from typing import Optional
+import os
+from typing import Optional, Tuple
 
 import jax
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_distributed_initialized = False
+
+
+def maybe_init_distributed() -> Tuple[int, int]:
+    """Initialize ``jax.distributed`` when the environment indicates a
+    multi-host run, and return ``(process_index, process_count)``.
+
+    Triggered by the standard coordination env vars
+    (``JAX_COORDINATOR_ADDRESS``/``COORDINATOR_ADDRESS``, with
+    ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` read by jax itself); single-host
+    runs skip initialization entirely. Idempotent. This is the DCN half of
+    the reference's missing distributed story (SURVEY.md section 2): the same
+    1-D data mesh then spans all hosts, with gradient psums riding ICI within
+    a slice and DCN between slices."""
+    global _distributed_initialized
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+        os.environ.get("COORDINATOR_ADDRESS")
+    if coord and not _distributed_initialized:
+        jax.distributed.initialize()
+        _distributed_initialized = True
+    return jax.process_index(), jax.process_count()
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:

@@ -88,9 +88,9 @@ def fused_mbconv(x, p: Dict, bs: Dict, norm: str, n_groups: int = 4):
     stats). Returns [N, H, W, C] bf16.
     """
     N, H, W, C = x.shape
-    w_pw1 = p["Conv2d_0"]["Conv_0"]["kernel"][0, 0].astype(jnp.bfloat16)  # [C,hid]
-    w_dw = p["Conv2d_1"]["Conv_0"]["kernel"][:, :, 0, :]                  # [3,3,hid]
-    w_pw2 = p["Conv2d_2"]["Conv_0"]["kernel"][0, 0].astype(jnp.bfloat16)  # [hid,C]
+    w_pw1 = p["Conv2d_0"]["kernel"][0, 0].astype(jnp.bfloat16)  # [C,hid]
+    w_dw = p["Conv2d_1"]["kernel"][:, :, 0, :]                  # [3,3,hid]
+    w_pw2 = p["Conv2d_2"]["kernel"][0, 0].astype(jnp.bfloat16)  # [hid,C]
     hid = w_pw1.shape[1]
     se_w1 = p["SE_0"]["Dense_0"]["kernel"]
     se_w2 = p["SE_0"]["Dense_1"]["kernel"]
@@ -156,8 +156,8 @@ def fused_mbconv(x, p: Dict, bs: Dict, norm: str, n_groups: int = 4):
 
 def _in_conv(x, p, norm, n_groups=4):
     """1x1 conv + group/batch norm + relu (ConvBlock k1)."""
-    k = p["ConvLayer_0"]["Conv2d_0"]["Conv_0"]["kernel"][0, 0]
-    b = p["ConvLayer_0"]["Conv2d_0"]["Conv_0"]["bias"]
+    k = p["ConvLayer_0"]["Conv2d_0"]["kernel"][0, 0]
+    b = p["ConvLayer_0"]["Conv2d_0"]["bias"]
     y = jnp.einsum("nhwc,cd->nhwd", x, k.astype(x.dtype)) + b.astype(x.dtype)
     node = p["ConvLayer_0"]["Norm2d_0"]
     N, H, W, C = y.shape
@@ -226,8 +226,8 @@ def build_serving_fn(cfg: Config, variables: Dict):
                                bstats.get(f"out_block{i}", {}),
                                cfg.decoder_norm)
 
-        k = params["out_conv"]["ConvLayer_0"]["Conv2d_0"]["Conv_0"]["kernel"][0, 0]
-        b = params["out_conv"]["ConvLayer_0"]["Conv2d_0"]["Conv_0"]["bias"]
+        k = params["out_conv"]["ConvLayer_0"]["Conv2d_0"]["kernel"][0, 0]
+        b = params["out_conv"]["ConvLayer_0"]["Conv2d_0"]["bias"]
         out = jnp.einsum("nhwc,cd->nhwd", out, k.astype(out.dtype)) + \
             b.astype(out.dtype)
         out = out[:, None].astype(jnp.float32)  # [B,1,H,W,Cout]

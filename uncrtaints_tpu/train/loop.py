@@ -99,11 +99,20 @@ def log_train(writer: Writer, cfg: Config, step: int, batch: Dict,
 
 def _device_batch(batch: Dict, sharding=None) -> Dict:
     """Host batch -> device arrays; batch-sharded over the mesh when given
-    (params stay replicated; XLA inserts the gradient psum over ICI)."""
+    (params stay replicated; XLA inserts the gradient psum over ICI).
+
+    Multi-host: each host's loader yields only its per-host slice of the
+    global batch; ``make_array_from_process_local_data`` assembles the global
+    sharded array from the local shards (DCN never sees activations)."""
+    multihost = (sharding is not None
+                 and len(sharding.mesh.devices.flatten()) > len(jax.local_devices()))
     out = {}
     for k, v in batch.items():
         if v is None:
             out[k] = None
+        elif multihost:
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, np.asarray(v))
         elif sharding is not None:
             out[k] = jax.device_put(v, sharding)
         else:
