@@ -59,7 +59,18 @@ class MBConv(nn.Module):
         stride = 2 if self.downsample else 1
 
         def body(a):
-            h = Norm2d(self.norm, self.n_groups)(a, train=train)  # PreNorm
+            prenorm = Norm2d(self.norm, self.n_groups)
+            pw1 = None
+            if (self.norm == "batch" and not train and not self.downsample
+                    and self.expansion != 1):
+                # eval-mode BatchNorm is affine: fold PreNorm into the pw1
+                # weights (one fewer full-tensor pass; exact)
+                coef, offs = prenorm(a, train=train, fold_only=True)
+                pw1 = Conv2d(hidden, kernel=1, stride=1, pad=0,
+                             use_bias=False)
+                h = pw1(a, input_affine=(coef, offs))
+            else:
+                h = prenorm(a, train=train)  # PreNorm
             if self.expansion == 1:
                 h = Conv2d(hidden, kernel=3, stride=stride, pad=1,
                            padding_mode="reflect", use_bias=False, groups=hidden)(h)
@@ -68,7 +79,9 @@ class MBConv(nn.Module):
                 h = Conv2d(self.oup, kernel=1, stride=1, pad=0, use_bias=False)(h)
                 h = Norm2d(self.norm, self.n_groups)(h, train=train)
             else:
-                h = Conv2d(hidden, kernel=1, stride=stride, pad=0, use_bias=False)(h)
+                if pw1 is None:
+                    h = Conv2d(hidden, kernel=1, stride=stride, pad=0,
+                               use_bias=False)(h)
                 h = Norm2d(self.norm, self.n_groups)(h, train=train)
                 h = gelu(h)
                 h = Conv2d(hidden, kernel=3, stride=1, pad=1,
