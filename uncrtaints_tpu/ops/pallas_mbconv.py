@@ -25,6 +25,13 @@ is NOT yet competitive -- Mosaic's sublane rotates on large fp32 buffers
 dominate (26 GB/s effective vs XLA's 15.7ms segment); the fused serving
 path (serve.py) is therefore experimental and OFF by default. Numerics of
 both kernels are verified to 1 bf16 ulp in tests/test_pallas_kernels.py.
+
+STATUS (round 2): a bf16 dw-kernel rewrite is blocked by the toolchain --
+Mosaic rejects `tpu.dynamic_rotate` on bf16 vectors ("Rotate with non-32-bit
+data: not implemented", measured 2026-08). The production eval path instead
+reached its speed via XLA-level rewrites (eval-mode norm folding, pad-free
+reflect convs, matmul bilinear resize in models/); this module remains a
+quarantined experiment.
 """
 
 from __future__ import annotations

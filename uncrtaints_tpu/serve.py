@@ -19,8 +19,9 @@ plus two cheap fused elementwise stages:
 The non-MBConv pieces (in_conv, L-TAE, temporal aggregation, output heads)
 reuse the flax modules applied to their parameter sub-trees, so numerics and
 parameter layout stay identical to the training path. Training/backward
-always uses the standard flax path -- this is a serving accelerator, parity-
-tested against the reference forward in tests/test_serve.py.
+always uses the standard flax path -- this is a quarantined serving
+experiment with no test coverage yet; the production eval path instead won
+its speed via XLA-level fusion (see models/blocks.py eval-mode folding).
 
 Usage:
     fn = build_serving_fn(cfg, variables)   # jitted
