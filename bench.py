@@ -8,6 +8,7 @@ GPU running the PyTorch reference (BASELINE.json: >=10x target per v5e chip).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import time
 
@@ -15,19 +16,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Estimated PyTorch-reference V100 eval throughput for 256x256 t=3 batches
-# (BASELINE.json gives no published number; this anchor makes vs_baseline a
-# stable ratio across rounds -- revisit if the driver records a real one).
-V100_REFERENCE_SEQ_PER_SEC = 20.0
+# PyTorch-reference V100 eval throughput anchor, derived from measurement
+# (see BASELINE.md "Grounding the V100 anchor"): the actual reference
+# (forward + MGNLL, B=1, 256x256, t=3) measured on this host's CPU at
+# 0.199 seq/s, scaled by the fp32-peak ratio V100/host = 15.7 TF / 130.6 GF
+# (host peak measured with a 2048^3 torch matmul) = 120x -> 23.9 seq/s.
+# This is favorable to the reference (assumes eager torch sustains the same
+# fraction of peak on V100 as on CPU).
+V100_REFERENCE_SEQ_PER_SEC = 23.9
 
 
-def main():
+def main(train: bool = False):
     from uncrtaints_tpu.config import Config, derive, input_dim
     from uncrtaints_tpu.models import get_generator
-    from uncrtaints_tpu.train import create_train_state, make_eval_step
+    from uncrtaints_tpu.train import create_train_state, make_eval_step, make_train_step
 
-    # B=8 is the HBM sweet spot with the fused-norm bf16 path
-    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=8, lr=1e-3))
+    # eval: B=8 is the HBM sweet spot with the fused-norm bf16 path.
+    # train: B=4 (the paper recipe, README.md:76-79) -- the backward pass at
+    # B=8 exceeds comfortable HBM headroom on a single v5e chip.
+    cfg = derive(Config(use_sar=True, scale_by=10.0,
+                        batch_size=4 if train else 8, lr=1e-3))
     model = get_generator(cfg)
 
     B, T, H, W = cfg.batch_size, cfg.input_t, 256, 256
@@ -38,11 +46,19 @@ def main():
         "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
     }
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
-    eval_step = make_eval_step(cfg)
+    if train:
+        step_fn = make_train_step(cfg)
+        drng = jax.random.PRNGKey(1)
+        run = lambda st: step_fn(st, batch, drng)[1]
+        name = "uncrtaints_256px_t3_train_throughput"
+    else:
+        eval_step = make_eval_step(cfg)
+        run = lambda st: eval_step(st, batch)
+        name = "uncrtaints_256px_t3_eval_throughput"
 
     # warmup / compile (axon's first post-compile dispatch is slow)
     for _ in range(3):
-        aux = eval_step(state, batch)
+        aux = run(state)
         _ = float(aux["loss"])  # scalar round-trip = reliable sync on axon
 
     # sustained serving throughput: steps dispatch back-to-back (device
@@ -51,13 +67,13 @@ def main():
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        aux = eval_step(state, batch)
+        aux = run(state)
     _ = float(aux["loss"])
     dt = time.perf_counter() - t0
 
     seq_per_sec = iters * B / dt
     print(json.dumps({
-        "metric": "uncrtaints_256px_t3_eval_throughput",
+        "metric": name,
         "value": round(seq_per_sec, 2),
         "unit": "sequences/sec/chip",
         "vs_baseline": round(seq_per_sec / V100_REFERENCE_SEQ_PER_SEC, 2),
@@ -65,4 +81,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the train step instead of eval")
+    main(train=ap.parse_args().train)

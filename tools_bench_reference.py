@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def bench_torch(B=4, T=3, H=256, iters=3):
+def bench_torch(B=1, T=3, H=256, iters=2):
     import torch
     torch.set_num_threads(os.cpu_count() or 1)
     sys.path.insert(0, "/root/reference/model")
