@@ -80,3 +80,67 @@ def test_norm_gelu_dwconv_parity(rng):
         feature_group_count=C).astype(jnp.bfloat16)
     d = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))
     assert float(d.max()) <= 0.05 * float(jnp.abs(ref).max())
+
+def test_norm_gelu_matmul_epilogue(rng):
+    """Epilogue affine + GELU and do_stats=False (round-2 extensions)."""
+    N, P, C, C2 = 2, 512, 128, 128
+    x = jnp.asarray(rng.standard_normal((N, P, C)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((C, C2)).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    c_in = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    o_in = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    c_out = jnp.asarray(rng.standard_normal(C2).astype(np.float32))
+    o_out = jnp.asarray(rng.standard_normal(C2).astype(np.float32))
+    se = jnp.asarray(rng.random((N, C)).astype(np.float32))
+    zero = jnp.zeros((N, 1), jnp.float32)
+    one = jnp.ones((N, 1), jnp.float32)
+
+    out, s1, s2 = norm_gelu_matmul(
+        x, zero, one, c_in, o_in, w, se=se, groups_in=1,
+        do_gelu=True, tile=512, out_affine=(c_out, o_out), out_gelu=True,
+        do_stats=False)
+
+    h = jax.nn.gelu(x.astype(jnp.float32) * c_in + o_in, approximate=False)
+    h = h * se[:, None, :]
+    g = jnp.einsum("npc,cd->npd", h.astype(jnp.bfloat16), w,
+                   preferred_element_type=jnp.float32)
+    ref = jax.nn.gelu(g * c_out + o_out, approximate=False).astype(jnp.bfloat16)
+    d = jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))
+    assert float(d.max()) <= 0.05 * float(jnp.abs(ref).max())
+    assert float(jnp.abs(s1).max()) == 0.0  # stats skipped
+    assert float(jnp.abs(s2).max()) == 0.0
+
+
+def test_fused_mbconv_eval_parity(rng):
+    """MBConv fused_eval path: identical parameter tree, output within
+    bf16 accumulation tolerance of the standard eval path."""
+    from uncrtaints_tpu.models.blocks import MBConv
+    import flax
+
+    C, H = 128, 16
+    x = jnp.asarray(rng.standard_normal((2, 3, H, H, C)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    m_std = MBConv(C, C, expansion=2, norm="batch", fused_eval=False)
+    m_fus = MBConv(C, C, expansion=2, norm="batch", fused_eval=True)
+
+    v = m_std.init(jax.random.PRNGKey(0), x, False)
+    v2 = m_fus.init(jax.random.PRNGKey(0), x, False)
+    p0 = flax.traverse_util.flatten_dict(v["params"])
+    p1 = flax.traverse_util.flatten_dict(v2["params"])
+    assert sorted(p0) == sorted(p1)
+    assert all(p0[k].shape == p1[k].shape for k in p0)
+
+    # non-trivial running stats so the eval affines matter
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape).astype(np.float32)) * 0.3,
+        v["batch_stats"])
+    bs = jax.tree.map(lambda a: jnp.abs(a) + 0.5, bs)
+    params_bf = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        v["params"])
+    vb = {"params": params_bf, "batch_stats": bs}
+
+    y0 = np.asarray(m_std.apply(vb, x, False), np.float32)
+    y1 = np.asarray(m_fus.apply(vb, x, False), np.float32)
+    d = np.abs(y0 - y1)
+    assert d.max() <= 0.02 * np.abs(y0).max()
+    assert np.sqrt((d ** 2).mean()) <= 5e-3 * np.abs(y0).max()

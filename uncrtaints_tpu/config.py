@@ -143,6 +143,8 @@ class Config:
     remat: bool = False                  # rematerialize conv blocks (memory<->FLOPs)
     debug_nans: bool = False             # jax_debug_nans for fault isolation
     trace_dir: str = ""                  # jax.profiler trace output directory
+    fused_eval: str = "auto"             # Pallas-fused eval MBConv: auto|on|off
+                                         # (auto = on for TPU backends only)
 
     # bookkeeping (filled by derive())
     pid: int = 0
@@ -279,6 +281,9 @@ def create_parser(mode: str = "train") -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", dest="synthetic_data", action="store_true")
     p.add_argument("--remat", dest="remat", action="store_true",
                    help="rematerialize conv blocks to cut activation memory")
+    p.add_argument("--fused_eval", default=d.fused_eval, type=str,
+                   choices=["auto", "on", "off"],
+                   help="Pallas-fused eval MBConv path (auto: TPU only)")
     p.add_argument("--debug_nans", dest="debug_nans", action="store_true")
     p.add_argument("--trace_dir", default="", type=str,
                    help="write a jax.profiler trace of the first train steps")

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -27,13 +28,20 @@ class SE(nn.Module):
     expansion: float = 0.25
 
     @nn.compact
-    def __call__(self, x):
-        y = x.mean(axis=(-3, -2))  # [N, C]
+    def __call__(self, x, mean=None, scale_only=False):
+        """``mean`` overrides the global-average-pool input (used by the
+        fused eval path, which computes the pooled vector in its own fused
+        reduction); ``scale_only=True`` returns the [N, C] sigmoid gate
+        instead of applying it. Parameter names/shapes are identical in
+        every mode."""
+        y = x.mean(axis=(-3, -2)) if mean is None else mean  # [N, C]
         y = nn.Dense(int(self.inp * self.expansion), use_bias=False,
                      kernel_init=dense_kernel_init)(y)
         y = gelu(y)
         y = nn.Dense(self.oup, use_bias=False, kernel_init=dense_kernel_init)(y)
         y = nn.sigmoid(y)
+        if scale_only:
+            return y
         return x * y[:, None, None, :]
 
 
@@ -44,6 +52,12 @@ class MBConv(nn.Module):
     norm+GELU -> SE -> pw-linear (hidden->oup) -> norm; residual add.
     The reference's optional downsample branch (MaxPool + 1x1 proj) is kept
     for completeness though UnCRtainTS never enables it.
+
+    ``fused_eval=True`` (TPU eval path) runs both pointwise GEMMs as fused
+    Pallas kernels with the eval-mode BatchNorm affines, GELUs and the SE
+    gate as prologue/epilogue -- eliminating every standalone elementwise
+    HBM pass except the depthwise conv's (which XLA already fuses well).
+    Parameter names/shapes are identical to the standard path.
     """
     inp: int
     oup: int
@@ -52,11 +66,17 @@ class MBConv(nn.Module):
     norm: str = "batch"
     n_groups: int = 4
     pad_value: Optional[float] = None
+    fused_eval: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.inp * self.expansion)
         stride = 2 if self.downsample else 1
+
+        if (self.fused_eval and not train and self.norm == "batch"
+                and not self.downsample and self.expansion != 1
+                and self.inp % 128 == 0 and hidden % 128 == 0):
+            return smart_apply(self._fused_body(hidden), x, self.pad_value)
 
         def body(a):
             prenorm = Norm2d(self.norm, self.n_groups)
@@ -98,6 +118,63 @@ class MBConv(nn.Module):
             return a + h
 
         return smart_apply(body, x, self.pad_value)
+
+    def _fused_body(self, hidden: int):
+        """Eval-mode body with both pointwise GEMMs as Pallas kernels.
+
+        Stage 1: gelu(bn1(pw1(prenorm(a)))) in ONE kernel (prenorm affine as
+        prologue, bn1 affine + GELU as epilogue). Stage 2: XLA depthwise
+        reflect conv. Stage 3: bn3(pw2(se .* gelu(bn2(h2)))) in ONE kernel
+        (bn2 affine + GELU + SE gate as prologue, bn3 affine as epilogue);
+        the SE pooled vector comes from a fused fp32 reduction over h2.
+        Submodule creation order matches the standard body exactly, so the
+        parameter tree is identical."""
+        from uncrtaints_tpu.ops.pallas_mbconv import norm_gelu_matmul
+
+        def body(a):
+            NF, H, W, C = a.shape
+            P = H * W
+            f32 = jnp.float32
+            zero, one = jnp.zeros((NF, 1), f32), jnp.ones((NF, 1), f32)
+
+            c0, o0 = Norm2d(self.norm, self.n_groups)(
+                a, train=False, fold_only=True)
+            W1, _ = Conv2d(hidden, kernel=1, stride=1, pad=0,
+                           use_bias=False)(a, weights_only=True)
+            c1, o1 = Norm2d(self.norm, self.n_groups)(
+                jnp.zeros((1, 1, 1, hidden), a.dtype),
+                train=False, fold_only=True)
+            h1, _, _ = norm_gelu_matmul(
+                a.reshape(NF, P, C), zero, one,
+                c0.astype(f32), o0.astype(f32), W1[0, 0],
+                groups_in=1, do_gelu=False,
+                out_affine=(c1, o1), out_gelu=True, do_stats=False)
+
+            h2 = Conv2d(hidden, kernel=3, stride=1, pad=1,
+                        padding_mode="reflect", use_bias=False,
+                        groups=hidden)(h1.reshape(NF, H, W, hidden))
+
+            c2, o2 = Norm2d(self.norm, self.n_groups)(
+                h2, train=False, fold_only=True)
+            # SE pooled vector: fp32 gelu(bn2(h2)) mean, fused into one
+            # reduction (reads h2 once, materializes nothing)
+            g = jax.nn.gelu(h2.astype(f32) * c2 + o2, approximate=False)
+            m2 = g.mean(axis=(-3, -2))                       # [NF, hidden]
+            s = SE(self.inp, hidden)(h2, mean=m2, scale_only=True)
+
+            W2, _ = Conv2d(self.oup, kernel=1, stride=1, pad=0,
+                           use_bias=False)(h2, weights_only=True)
+            c3, o3 = Norm2d(self.norm, self.n_groups)(
+                jnp.zeros((1, 1, 1, self.oup), a.dtype),
+                train=False, fold_only=True)
+            y, _, _ = norm_gelu_matmul(
+                h2.reshape(NF, P, hidden), zero, one,
+                c2.astype(f32), o2.astype(f32), W2[0, 0],
+                se=s.astype(f32), groups_in=1, do_gelu=True,
+                out_affine=(c3, o3), do_stats=False)
+            return a + y.reshape(NF, H, W, self.oup)
+
+        return body
 
 
 class ResidualConvBlock(nn.Module):

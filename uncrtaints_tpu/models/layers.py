@@ -177,16 +177,23 @@ class Conv2d(nn.Module):
     prefer_dot: bool = False
 
     @nn.compact
-    def __call__(self, x, input_affine=None):
+    def __call__(self, x, input_affine=None, weights_only=False):
         """``input_affine=(coef, offs)`` computes conv(x * coef + offs) by
         folding the per-input-channel affine into the kernel and bias --
         exact for 1x1 convs and for reflect/replicate/circular padding
-        (constants are preserved under those pads), zero runtime cost."""
+        (constants are preserved under those pads), zero runtime cost.
+
+        ``weights_only=True`` creates the parameters (same names/shapes as a
+        normal call, so checkpoints are interchangeable) and returns
+        ``(kernel, bias)`` raw instead of convolving -- used by the fused
+        eval path which feeds the weights to a Pallas kernel."""
         k = self.kernel
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, x.shape[-1] // self.groups, self.features))
         bias = (self.param("bias", bias_normal_init, (self.features,))
                 if self.use_bias else None)
+        if weights_only:
+            return kernel, bias
         if input_affine is not None:
             coef, offs = input_affine
             assert self.groups in (1, x.shape[-1]), "fold: plain or depthwise"
@@ -243,6 +250,10 @@ class Conv2d(nn.Module):
         def col_fix(strip, kcol):  # strip [N,H,C], kcol [3,1,ci,co]
             return conv(strip[:, :, None], kcol, [(1, 1), (0, 0)])[:, :, 0]
 
+        # NOTE: .at[].add (dynamic-update-slice) is the fastest combination
+        # XLA accepts here. Measured alternatives at production size:
+        # broadcast iota-masked adds and lax.pad expansions both blow up
+        # compile time (>150 s for a single conv) and run slower.
         y = y.at[:, 0].add(row_fix(x[:, 1], kernel[0:1]))
         y = y.at[:, -1].add(row_fix(x[:, -2], kernel[2:3]))
         y = y.at[:, :, 0].add(col_fix(x[:, :, 1], kernel[:, 0:1]))

@@ -18,6 +18,19 @@ def mean_vars_idx(cfg: Config):
     return S2_BANDS, S2_BANDS + covar_dim
 
 
+def _resolve_fused_eval(cfg: Config) -> bool:
+    """Resolve the Pallas-fused eval MBConv flag.
+
+    'auto' currently resolves to OFF everywhere: measured on v5e (2026-08),
+    XLA's conv emitter overlaps the pointwise GEMMs and elementwise stages
+    under the depthwise conv's memory stalls, and the Pallas chain's
+    custom-call boundaries cost more than the fusion saves (65 ms vs 42 ms
+    per eval step at B=8). The path is numerically validated (1.7e-3 RMSE
+    end-to-end) and kept behind --fused_eval on for future toolchains."""
+    mode = getattr(cfg, "fused_eval", "auto")
+    return mode == "on"
+
+
 def get_generator(cfg: Config) -> nn.Module:
     if cfg.model == "uncrtaints":
         from uncrtaints_tpu.models.uncrtaints import UNCRTAINTS
@@ -45,6 +58,7 @@ def get_generator(cfg: Config) -> nn.Module:
             is_mono=cfg.pretrain,
             low_res_size=cfg.low_res_size,
             remat=cfg.remat,
+            fused_eval=_resolve_fused_eval(cfg),
         )
     if "unet3d" in cfg.model:
         from uncrtaints_tpu.models.unet3d import UNet3D

@@ -68,6 +68,7 @@ class UNCRTAINTS(nn.Module):
     is_mono: bool = False
     low_res_size: int = 32
     remat: bool = False  # jax.checkpoint each conv block (trade FLOPs for HBM)
+    fused_eval: bool = False  # Pallas-fused MBConv eval path (TPU)
 
     @property
     def mean_idx(self) -> int:
@@ -97,6 +98,7 @@ class UNCRTAINTS(nn.Module):
         for i, w in enumerate(self.encoder_widths):
             if self.block_type == "mbconv":
                 out = mb_cls(w, w, expansion=2, norm=self.encoder_norm,
+                             fused_eval=self.fused_eval,
                              name=f"in_block{i}")(out, train)
             elif self.block_type == "residual":
                 out = res_cls(w, norm=self.encoder_norm,
@@ -144,6 +146,7 @@ class UNCRTAINTS(nn.Module):
         for i, w in enumerate(self.decoder_widths):
             if self.block_type == "mbconv":
                 out = mb_cls(w, w, expansion=2, norm=self.decoder_norm,
+                             fused_eval=self.fused_eval,
                              name=f"out_block{i}")(out, train)
             else:
                 out = res_cls(w, norm=self.decoder_norm,

@@ -73,9 +73,11 @@ def _norm_apply(x32, m, cf, scale, bias):
 # Kernel A: norm -> gelu? -> se? -> matmul (+ output stats partials)
 # --------------------------------------------------------------------- #
 
-def _mk_kernel_a(groups_in: int, groups_out: int, do_gelu: bool, do_se: bool):
+def _mk_kernel_a(groups_in: int, groups_out: int, do_gelu: bool, do_se: bool,
+                 do_out_affine: bool = False, do_out_gelu: bool = False,
+                 do_stats: bool = True):
     def kernel(x_ref, mean_ref, coef_ref, scale_ref, bias_ref, w_ref, se_ref,
-               out_ref, psum_ref, psq_ref):
+               oscale_ref, obias_ref, out_ref, psum_ref, psq_ref):
         n = pl.program_id(0)
         x32 = x_ref[0].astype(jnp.float32)          # [TP, C]
         h = _norm_apply(x32, mean_ref[n], coef_ref[n],
@@ -86,8 +88,16 @@ def _mk_kernel_a(groups_in: int, groups_out: int, do_gelu: bool, do_se: bool):
             h = h * se_ref[n][None, :].astype(jnp.float32)
         out = jnp.dot(h.astype(jnp.bfloat16), w_ref[:],
                       preferred_element_type=jnp.float32)  # [TP, C2]
+        if do_out_affine:
+            out = out * oscale_ref[0][None, :] + obias_ref[0][None, :]
+        if do_out_gelu:
+            out = _gelu_exact(out)
         out_ref[0] = out.astype(out_ref.dtype)
         TP, C2 = out.shape
+        if not do_stats:
+            psum_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
+            psq_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
+            return
         # group sums via a 0/1 selection matmul: reshaping the lane dim
         # (C2 -> G x C2/G) is an expensive relayout in Mosaic, a matmul with
         # a [C2, 128] group-indicator is free on the MXU
@@ -115,19 +125,38 @@ def norm_gelu_matmul(x, mean, coef, scale, bias, w,
                      se: Optional[jax.Array] = None,
                      groups_in: int = 4, groups_out: int = 4,
                      do_gelu: bool = True, tile: int = 1024,
+                     out_affine: Optional[Tuple[jax.Array, jax.Array]] = None,
+                     out_gelu: bool = False, do_stats: bool = True,
                      interpret: Optional[bool] = None):
     """x [N,P,C] bf16; mean/coef [N,G_in] f32; scale/bias [C] f32;
     w [C,C2] bf16; se [N,C] or None.
+
+    ``out_affine=(oscale, obias)`` ([C2] fp32 each) applies an epilogue
+    per-channel affine to the fp32 GEMM output before the (optional)
+    epilogue ``out_gelu`` and the cast -- this is how an eval-mode BatchNorm
+    AFTER the pointwise conv fuses into the same kernel. ``do_stats=False``
+    skips the group-stats side outputs (they return zeros).
+
     Returns (out [N,P,C2] bf16, sum [N,G_out] f32, sumsq [N,G_out] f32)."""
     N, P, C = x.shape
     C2 = w.shape[1]
+    tile = min(tile, P)
     nt = P // tile
     assert P % tile == 0
 
     se_arr = se if se is not None else jnp.ones((N, C), jnp.float32)
     mean = jnp.repeat(mean, C // groups_in, axis=-1)   # [N, C]
     coef = jnp.repeat(coef, C // groups_in, axis=-1)
-    kernel = _mk_kernel_a(groups_in, groups_out, do_gelu, se is not None)
+    if out_affine is not None:
+        oscale, obias = out_affine
+        oscale = oscale.astype(jnp.float32)[None]
+        obias = obias.astype(jnp.float32)[None]
+    else:
+        oscale = jnp.ones((1, C2), jnp.float32)
+        obias = jnp.zeros((1, C2), jnp.float32)
+    kernel = _mk_kernel_a(groups_in, groups_out, do_gelu, se is not None,
+                          do_out_affine=out_affine is not None,
+                          do_out_gelu=out_gelu, do_stats=do_stats)
 
     if interpret is None:
         interpret = _interpret_default()
@@ -146,6 +175,8 @@ def norm_gelu_matmul(x, mean, coef, scale, bias, w,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [1, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w [C, C2]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # se [N, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # oscale [1, C2]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # obias [1, C2]
         ],
         out_specs=(
             pl.BlockSpec((1, tile, C2), lambda n, t: (n, t, 0),
@@ -160,7 +191,7 @@ def norm_gelu_matmul(x, mean, coef, scale, bias, w,
             jax.ShapeDtypeStruct((N, nt, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((N, nt, 8, 128), jnp.float32),
         ),
-    )(x, mean, coef, scale[None], bias[None], w, se_arr)
+    )(x, mean, coef, scale[None], bias[None], w, se_arr, oscale, obias)
     return (out, psum.sum(axis=(1, 2))[:, :groups_out],
             psq.sum(axis=(1, 2))[:, :groups_out])
 
