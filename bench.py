@@ -47,18 +47,23 @@ def main(train: bool = False):
     }
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
     if train:
+        # the train step DONATES the state buffer -- thread it through,
+        # exactly as a real training loop does
         step_fn = make_train_step(cfg)
         drng = jax.random.PRNGKey(1)
-        run = lambda st: step_fn(st, batch, drng)[1]
         name = "uncrtaints_256px_t3_train_throughput"
+
+        def run(st):
+            st, aux = step_fn(st, batch, drng)
+            return st, aux
     else:
         eval_step = make_eval_step(cfg)
-        run = lambda st: eval_step(st, batch)
+        run = lambda st: (st, eval_step(st, batch))
         name = "uncrtaints_256px_t3_eval_throughput"
 
     # warmup / compile (axon's first post-compile dispatch is slow)
     for _ in range(3):
-        aux = run(state)
+        state, aux = run(state)
         _ = float(aux["loss"])  # scalar round-trip = reliable sync on axon
 
     # sustained serving throughput: steps dispatch back-to-back (device
@@ -67,7 +72,7 @@ def main(train: bool = False):
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        aux = run(state)
+        state, aux = run(state)
     _ = float(aux["loss"])
     dt = time.perf_counter() - t0
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 
-def eval_ms(tag, patch=None, iters=20):
+def eval_ms(tag, patch=None, iters=20, train=False, loss=None):
     import uncrtaints_tpu.models.layers as L
     import uncrtaints_tpu.models.blocks as Bk
     import uncrtaints_tpu.models.ltae as Lt
@@ -22,28 +22,40 @@ def eval_ms(tag, patch=None, iters=20):
     import uncrtaints_tpu.ops.pooling as Pl
     from uncrtaints_tpu.config import Config, derive, input_dim
     from uncrtaints_tpu.models import get_generator
-    from uncrtaints_tpu.train import create_train_state, make_eval_step
+    from uncrtaints_tpu.train import (create_train_state, make_eval_step,
+                                      make_train_step)
 
     saves = {}
     if patch:
         saves = patch(L, Bk, Lt, Ag, Pl)
     try:
-        cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=8, lr=1e-3))
+        B = 4 if train else 8
+        kw = {"loss": loss} if loss else {}
+        cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=B,
+                            lr=1e-3, **kw))
         model = get_generator(cfg)
         rng = np.random.default_rng(0)
-        B, T, H = 8, 3, 256
+        T, H = 3, 256
         batch = {
             "x": jnp.asarray(rng.random((B, T, H, H, input_dim(cfg)), dtype=np.float32)),
             "y": jnp.asarray(rng.random((B, 1, H, H, 13), dtype=np.float32)),
             "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
         }
         state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
-        step = make_eval_step(cfg)
-        aux = step(state, batch)
+        if train:
+            tstep = make_train_step(cfg)
+            drng = jax.random.PRNGKey(1)
+            def step(st, b):
+                st, aux = tstep(st, b, drng)
+                return st, aux
+        else:
+            estep = make_eval_step(cfg)
+            step = lambda st, b: (st, estep(st, b))
+        state, aux = step(state, batch)
         _ = float(aux["loss"])
         t0 = time.perf_counter()
         for _ in range(iters):
-            aux = step(state, batch)
+            state, aux = step(state, batch)
         _ = float(aux["loss"])
         dt = (time.perf_counter() - t0) / iters
         print(f"{tag:36s} {dt*1e3:8.2f} ms", flush=True)
@@ -152,10 +164,14 @@ ALL = {
 
 
 def main():
-    names = sys.argv[1:] or list(ALL)
+    train = "--train" in sys.argv
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or list(ALL)
     base = None
     for name in names:
-        dt = eval_ms(name, ALL[name])
+        if name == "l2_loss":
+            dt = eval_ms(name, None, train=train, loss="l2")
+        else:
+            dt = eval_ms(name, ALL[name], train=train)
         if name == "baseline":
             base = dt
         elif base:

@@ -29,6 +29,17 @@ def adaptive_max_pool2d(x: jax.Array, out_hw: tuple, hw_axes: tuple = (-3, -2)) 
     H, W = x.shape[h_ax], x.shape[w_ax]
     oh, ow = out_hw
 
+    if H % oh == 0 and W % ow == 0 and w_ax == h_ax + 1:
+        # non-overlapping windows as a reshape + max: same forward speed as
+        # lax.reduce_window, but the BACKWARD differentiates through an
+        # axis-reduce (eq-mask) instead of lax.reduce_window's
+        # SelectAndScatter transpose
+        kh, kw = H // oh, W // ow
+        shape = list(x.shape)
+        new_shape = shape[:h_ax] + [oh, kh, ow, kw] + shape[w_ax + 1:]
+        xr = x.reshape(new_shape)
+        return xr.max(axis=(h_ax + 1, h_ax + 3))
+
     if H % oh == 0 and W % ow == 0:
         kh, kw = H // oh, W // ow
         dims = [1] * x.ndim
