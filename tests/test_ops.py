@@ -104,3 +104,22 @@ def test_ssim_matches_reference_impl(rng):
     got = float(ssim(jnp.asarray(a.transpose(0, 2, 3, 1)),
                      jnp.asarray(b.transpose(0, 2, 3, 1))))
     assert abs(ref - got) < 1e-4
+
+
+def test_adaptive_max_pool_grad_matches_reduce_window(rng):
+    """The reshape-based divisible path must differentiate identically to
+    the reduce_window formulation (routing gradient to the argmax)."""
+    import jax
+    from jax import lax
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)).astype(np.float32))
+
+    def via_reshape(a):
+        return adaptive_max_pool2d(a, (4, 4)).sum()
+
+    def via_reduce_window(a):
+        return lax.reduce_window(a, -jnp.inf, lax.max,
+                                 (1, 4, 4, 1), (1, 4, 4, 1), "VALID").sum()
+
+    g0 = jax.grad(via_reshape)(x)
+    g1 = jax.grad(via_reduce_window)(x)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
