@@ -242,6 +242,11 @@ def _moments_f32(x, axes, keepdims: bool = True):
     return m, jnp.maximum(m2 - jnp.square(m), 0.0)
 
 
+# NOTE: custom VJPs for train-mode BatchNorm/GroupNorm were implemented and
+# measured (round 2): both REGRESSED the train step (25.4 -> 18-21 seq/s at
+# B=4 256px) -- the custom_vjp boundary blocks the cross-op fusions XLA finds
+# through the default moments+apply autodiff. Default autodiff retained.
+
 class Norm2d(nn.Module):
     """Config-selected normalization over NHWC feature maps.
 
@@ -302,15 +307,15 @@ class Norm2d(nn.Module):
             axes = tuple(range(x.ndim - 1))
             m, v = _moments_f32(x, axes=axes, keepdims=False)
             if not self.is_initializing():
-                n = 1
-                for a in axes:
-                    n *= x.shape[a]
+                n = x.size // C
                 # torch tracks the UNBIASED variance in running stats
                 unbiased = v * (n / max(n - 1, 1))
                 ra_mean.value = 0.9 * ra_mean.value + 0.1 * m
                 ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
-        else:
-            m, v = ra_mean.value, ra_var.value
+            coef = (jax.lax.rsqrt(v + 1e-5) * scale).astype(x.dtype)
+            offs = (bias - m * jax.lax.rsqrt(v + 1e-5) * scale).astype(x.dtype)
+            return x * coef + offs
+        m, v = ra_mean.value, ra_var.value
         coef = (jax.lax.rsqrt(v + 1e-5) * scale).astype(x.dtype)
         offs = (bias - m * jax.lax.rsqrt(v + 1e-5) * scale).astype(x.dtype)
         return x * coef + offs
