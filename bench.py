@@ -31,11 +31,12 @@ def main(train: bool = False):
     from uncrtaints_tpu.models import get_generator
     from uncrtaints_tpu.train import create_train_state, make_eval_step, make_train_step
 
-    # eval: B=8 is the HBM sweet spot with the fused-norm bf16 path.
+    # eval: B=16 is the measured throughput sweet spot (199 vs 192 seq/s at
+    # B=8; B=12 tiles badly, B>=24 exhausts device buffers through axon).
     # train: B=4 (the paper recipe, README.md:76-79) -- the backward pass at
     # B=8 exceeds comfortable HBM headroom on a single v5e chip.
     cfg = derive(Config(use_sar=True, scale_by=10.0,
-                        batch_size=4 if train else 8, lr=1e-3))
+                        batch_size=4 if train else 16, lr=1e-3))
     model = get_generator(cfg)
 
     B, T, H, W = cfg.batch_size, cfg.input_t, 256, 256

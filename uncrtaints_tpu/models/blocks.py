@@ -34,7 +34,21 @@ class SE(nn.Module):
         reduction); ``scale_only=True`` returns the [N, C] sigmoid gate
         instead of applying it. Parameter names/shapes are identical in
         every mode."""
-        y = x.mean(axis=(-3, -2)) if mean is None else mean  # [N, C]
+        if mean is None:
+            # global average pool as an MXU matmul: a plain bf16
+            # x.mean(axis=(-3,-2)) reduce ran ~25x below the HBM roofline
+            # (profiled 8.6 ms/step across the SE blocks); contracting the
+            # 64k pixels against a ones-vector on the MXU reads x at full
+            # bandwidth and accumulates in fp32
+            N, H, W, C = x.shape
+            P = H * W
+            ones = jnp.ones((P,), x.dtype)
+            y = jax.lax.dot_general(
+                ones, x.reshape(N, P, C), (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [N, C]
+            y = (y / P).astype(x.dtype)
+        else:
+            y = mean  # [N, C]
         y = nn.Dense(int(self.inp * self.expansion), use_bias=False,
                      kernel_init=dense_kernel_init)(y)
         y = gelu(y)

@@ -282,11 +282,18 @@ class Norm2d(nn.Module):
             scale = self.param("scale", nn.initializers.ones, (C,))
             bias = self.param("bias", nn.initializers.zeros, (C,))
             xg = x.reshape(B, -1, g, C // g)
-            m, v = _moments_f32(xg, axes=(1, 3))  # [B,1,g,1]
-            coef = jax.lax.rsqrt(v + 1e-5)
-            y = (xg - m.astype(x.dtype)) * coef.astype(x.dtype)
-            y = y.reshape(x.shape)
-            return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+            m, v = _moments_f32(xg, axes=(1, 3), keepdims=False)  # [B, g]
+            # apply in the NATURAL NHWC shape: normalizing through the
+            # [B,P,g,C/g] reshape dragged the whole elementwise pass into a
+            # group-tiled layout (~25x below roofline); broadcasting the
+            # per-group stats to per-channel keeps the pass layout-native
+            mc = jnp.repeat(m, C // g, axis=-1)                       # [B, C]
+            rc = jnp.repeat(jax.lax.rsqrt(v + 1e-5), C // g, axis=-1)  # [B, C]
+            cc = rc * scale.astype(jnp.float32)
+            off = (bias.astype(jnp.float32) - mc * cc).astype(x.dtype)
+            bshape = (B,) + (1,) * (x.ndim - 2) + (C,)
+            return (x * cc.astype(x.dtype).reshape(bshape)
+                    + off.reshape(bshape))
         return x
 
     def _batch_norm(self, x, train: bool, fold_only: bool = False):
