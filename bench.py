@@ -17,14 +17,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# PyTorch-reference V100 eval throughput anchor, derived from measurement
+# PyTorch-reference V100 throughput anchors, derived from measurement
 # (see BASELINE.md "Grounding the V100 anchor"): the actual reference
-# (forward + MGNLL, B=1, 256x256, t=3) measured on this host's CPU at
-# 0.199 seq/s, scaled by the fp32-peak ratio V100/host = 15.7 TF / 130.6 GF
-# (host peak measured with a 2048^3 torch matmul) = 120x -> 23.9 seq/s.
-# This is favorable to the reference (assumes eager torch sustains the same
-# fraction of peak on V100 as on CPU).
-V100_REFERENCE_SEQ_PER_SEC = 23.9
+# measured on this host's CPU (eval fwd+MGNLL 0.199 seq/s; train step
+# 0.0328 seq/s at B=1, 256x256, t=3), scaled by the fp32-peak ratio
+# V100/host = 15.7 TF / 130.6 GF (host peak measured with a 2048^3 torch
+# matmul) = 120x. This is favorable to the reference (assumes eager torch
+# sustains the same fraction of peak on V100 as on CPU).
+V100_REFERENCE_SEQ_PER_SEC = 23.9        # eval: 0.199 * 120
+V100_REFERENCE_TRAIN_SEQ_PER_SEC = 3.94  # train: 0.0328 * 120
 
 
 def main(train: bool = False, batch_size: int = None):
@@ -81,11 +82,13 @@ def main(train: bool = False, batch_size: int = None):
     dt = time.perf_counter() - t0
 
     seq_per_sec = iters * B / dt
+    anchor = (V100_REFERENCE_TRAIN_SEQ_PER_SEC if train
+              else V100_REFERENCE_SEQ_PER_SEC)
     print(json.dumps({
         "metric": name,
         "value": round(seq_per_sec, 2),
         "unit": "sequences/sec/chip",
-        "vs_baseline": round(seq_per_sec / V100_REFERENCE_SEQ_PER_SEC, 2),
+        "vs_baseline": round(seq_per_sec / anchor, 2),
     }))
 
 
