@@ -55,8 +55,22 @@ def bench_torch(B=1, T=3, H=256, iters=2):
             loss, _ = losses.calc_loss(crit, Cfg(), mean, y, var=var)
             return loss
 
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+
+    def train_step():
+        model.train()
+        out = model(x, batch_positions=dates)
+        mean, var = out[:, :, :13], out[:, :, 13:]
+        loss, _ = losses.calc_loss(crit, Cfg(), mean, y, var=var)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        model.eval()
+        return loss
+
     results = {}
-    for name, fn in [("torch_forward", fwd), ("torch_forward_loss", fwd_loss)]:
+    for name, fn in [("torch_forward", fwd), ("torch_forward_loss", fwd_loss),
+                     ("torch_train_step", train_step)]:
         fn()  # warmup
         t0 = time.perf_counter()
         for _ in range(iters):

@@ -164,6 +164,11 @@ class MBConv(nn.Module):
                 groups_in=1, do_gelu=False,
                 out_affine=(c1, o1), out_gelu=True, do_stats=False)
 
+            # NOTE: the lax.conv here makes XLA flip the fused graph to
+            # channel-major layouts (~25 ms/step of relayout copies around
+            # the row-major Pallas calls); a reflect-pad shift-add variant
+            # was tried and measured WORSE (73 vs 65 ms/step) -- the
+            # unfused 9-tap FMA costs more than the relayouts it avoids.
             h2 = Conv2d(hidden, kernel=3, stride=1, pad=1,
                         padding_mode="reflect", use_bias=False,
                         groups=hidden)(h1.reshape(NF, H, W, hidden))
