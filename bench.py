@@ -102,5 +102,7 @@ if __name__ == "__main__":
     except Exception as e:  # device-buffer exhaustion through axon is flaky
         if "RESOURCE_EXHAUSTED" not in str(e):
             raise
-        sys.stderr.write("B=16 exhausted device buffers; retrying at B=8\n")
-        main(train=args.train, batch_size=4 if args.train else 8)
+        fallback = 2 if args.train else 8
+        sys.stderr.write(f"default batch exhausted device buffers; "
+                         f"retrying at B={fallback}\n")
+        main(train=args.train, batch_size=fallback)

@@ -247,9 +247,10 @@ def test_random_sampler_reproduces_across_resume():
     # many clear frames (<1e-3) so the random target choice actually varies
     cov = [0.0 if i % 2 == 0 else 0.5 for i in range(30)]
     a, b = mk(), mk()
-    # identical seeds -> identical choices, epoch by epoch
+    # identical seeds -> identical per-item choices, epoch by epoch
     for _ in range(3):
-        assert a._sample_indices(cov) == b._sample_indices(cov)
+        assert [a._sample_indices(cov, p) for p in range(5)] == \
+               [b._sample_indices(cov, p) for p in range(5)]
         a.incr_epoch_count()
         b.incr_epoch_count()
 
@@ -257,13 +258,22 @@ def test_random_sampler_reproduces_across_resume():
     # match its state
     c = mk()
     c.set_epoch_count(3)
-    seq_a = [a._sample_indices(cov) for _ in range(5)]
-    seq_c = [c._sample_indices(cov) for _ in range(5)]
+    seq_a = [a._sample_indices(cov, p) for p in range(5)]
+    seq_c = [c._sample_indices(cov, p) for p in range(5)]
     assert seq_a == seq_c
+
+    # thread-order independence: accessing items in ANY order gives the
+    # same per-item choices (the loader's worker pool calls __getitem__
+    # concurrently -- draws must not depend on arrival order)
+    seq_rev = [c._sample_indices(cov, p) for p in reversed(range(5))]
+    assert seq_a == list(reversed(seq_rev))
+
+    # items must not all sample identically within an epoch
+    assert len({tuple(s[0]) + (s[1],) for s in seq_a}) > 1
 
     # different seed -> (eventually) different choices
     d = SEN12MSCRTS("/nonexistent", split="all", sampler="random",
                     n_input_samples=3, custom_samples=[], seed=8)
     d.set_epoch_count(3)
-    seq_d = [d._sample_indices(cov) for _ in range(5)]
+    seq_d = [d._sample_indices(cov, p) for p in range(5)]
     assert seq_a != seq_d

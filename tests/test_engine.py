@@ -96,3 +96,53 @@ def test_multichip_dryrun_8_devices():
     import __graft_entry__ as ge
     assert len(jax.devices()) == 8
     ge.dryrun_multichip(8)
+
+
+def test_legacy_conv_path_checkpoint_migrates(tmp_path):
+    """Checkpoints written when Conv2d wrapped nn.Conv (param path
+    Conv2d_i/Conv_0/kernel) must load into the current tree (kernel owned
+    directly by Conv2d)."""
+    import jax
+    import numpy as np
+    from flax import serialization
+    from uncrtaints_tpu.config import Config, derive, input_dim
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state
+    from uncrtaints_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=1, lr=1e-3,
+                        res_dir=str(tmp_path), experiment_name="legacy"))
+    model = get_generator(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.random((1, 3, 32, 32, input_dim(cfg)),
+                                    dtype=np.float32)),
+        "y": jnp.asarray(rng.random((1, 1, 32, 32, 13), dtype=np.float32)),
+        "dates": jnp.asarray(rng.integers(0, 99, (1, 3)).astype(np.float32)),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    path = save_checkpoint(cfg, 1, state, "model", lr=1e-3)
+
+    # rewrite the stored tree with legacy Conv_0 wrappers everywhere a
+    # Conv2d_* node holds its kernel directly
+    def wrap(tree, under_conv=False):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            is_conv = isinstance(k, str) and k.startswith("Conv2d")
+            out[k] = wrap(v, under_conv=is_conv)
+        if under_conv and ("kernel" in out or "bias" in out):
+            return {"Conv_0": out}
+        return out
+
+    raw = serialization.msgpack_restore(open(path, "rb").read())
+    legacy = wrap(raw)
+    assert legacy != raw  # the rewrite actually produced legacy paths
+    open(path, "wb").write(serialization.msgpack_serialize(legacy))
+
+    state2 = create_train_state(cfg, model, jax.random.PRNGKey(1), batch)
+    state2, _ = load_checkpoint(cfg, cfg.res_dir, state2, "model")
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

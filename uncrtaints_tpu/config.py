@@ -144,7 +144,9 @@ class Config:
     debug_nans: bool = False             # jax_debug_nans for fault isolation
     trace_dir: str = ""                  # jax.profiler trace output directory
     fused_eval: str = "auto"             # Pallas-fused eval MBConv: auto|on|off
-                                         # (auto = on for TPU backends only)
+                                         # (auto currently = off: measured
+                                         # slower than XLA's conv pipeline on
+                                         # v5e, see models/registry.py)
 
     # bookkeeping (filled by derive())
     pid: int = 0
@@ -283,7 +285,8 @@ def create_parser(mode: str = "train") -> argparse.ArgumentParser:
                    help="rematerialize conv blocks to cut activation memory")
     p.add_argument("--fused_eval", default=d.fused_eval, type=str,
                    choices=["auto", "on", "off"],
-                   help="Pallas-fused eval MBConv path (auto: TPU only)")
+                   help="Pallas-fused eval MBConv path (experimental; "
+                        "auto currently resolves to off)")
     p.add_argument("--debug_nans", dest="debug_nans", action="store_true")
     p.add_argument("--trace_dir", default="", type=str,
                    help="write a jax.profiler trace of the first train steps")

@@ -78,7 +78,6 @@ class HDF5SEN12MSCRTS:
         self.method = rescale_method
         self.seed = seed
         self.epoch_count = 0
-        self._rng = np.random.default_rng(seed)
         self._file = None
         with h5py.File(path, "r") as f:
             self.keys = sorted(f.keys(), key=lambda k: int(k[1:]))
@@ -93,7 +92,6 @@ class HDF5SEN12MSCRTS:
         """Sampler rng is a pure function of (seed, epoch_count) so resumed
         runs reproduce the same 'random' sample choices per epoch."""
         self.epoch_count = epoch_count
-        self._rng = np.random.default_rng(self.seed + epoch_count)
 
     @property
     def file(self):
@@ -101,9 +99,12 @@ class HDF5SEN12MSCRTS:
             self._file = h5py.File(self.path, "r")
         return self._file
 
-    def _sample_indices(self, coverage):
+    def _sample_indices(self, coverage, pdx: int):
         if self.sampling == "random":
-            return random_sampler(coverage, self.n_input_t, self._rng)
+            # per-item generator keyed on (seed, epoch, item): deterministic
+            # under concurrent loader threads (see sen12mscrts.py)
+            rng = np.random.default_rng((self.seed, self.epoch_count, pdx))
+            return random_sampler(coverage, self.n_input_t, rng)
         if self.sampling == "fixedsubset":
             return fixedsubset_sampler(coverage, self.n_input_t,
                                        min_cov=self.min_cov,
@@ -114,7 +115,7 @@ class HDF5SEN12MSCRTS:
     def __getitem__(self, pdx: int) -> Dict:
         g = self.file[self.keys[pdx]]
         coverage = [float(c) for c in g["coverage"][:]]
-        inputs_idx, cloudless_idx, match = self._sample_indices(coverage)
+        inputs_idx, cloudless_idx, match = self._sample_indices(coverage, pdx)
         sel = sorted(inputs_idx)
 
         s1 = g["S1"][sel].astype(np.float32)

@@ -118,7 +118,6 @@ class SEN12MSCRTS:
         # analogue of the reference's global seeding + per-epoch generator
         # reseed (train_reconstruct.py:89-109,663-676)
         self.seed = seed
-        self._rng = np.random.default_rng(seed)
 
         if self.vary_samples and split in ("val", "test"):
             warnings.warn(f"Loading {split} split, but sampled time points "
@@ -206,9 +205,14 @@ class SEN12MSCRTS:
         s2_td = [days_since_launch(date_from_patch_path(p)) for p in s2_paths]
         return s1, s2_raw, masks, coverage, coord, s1_td, s2_td
 
-    def _sample_indices(self, coverage):
+    def _sample_indices(self, coverage, pdx: int):
         if self.sampling == "random":
-            return random_sampler(coverage, self.n_input_t, self._rng)
+            # fresh generator keyed on (seed, epoch, item): deterministic
+            # regardless of the order the loader's worker threads call
+            # __getitem__ (a single shared Generator is neither thread-safe
+            # nor order-stable under concurrency)
+            rng = np.random.default_rng((self.seed, self.epoch_count, pdx))
+            return random_sampler(coverage, self.n_input_t, rng)
         if self.sampling == "fixedsubset":
             return fixedsubset_sampler(coverage, self.n_input_t,
                                        earliest_idx=0, latest_idx=30,
@@ -243,7 +247,6 @@ class SEN12MSCRTS:
         """Jump to an epoch (resume path): the sampler rng state depends only
         on (seed, epoch_count), never on how many epochs actually ran here."""
         self.epoch_count = epoch_count
-        self._rng = np.random.default_rng(self.seed + epoch_count)
 
     # ------------------------------------------------------------------ #
 
@@ -317,7 +320,7 @@ class SEN12MSCRTS:
             else:
                 coverage = [float(c) for c in pair["coverage"]]
                 inputs_idx, cloudless_idx, coverage_match = \
-                    self._sample_indices(coverage)
+                    self._sample_indices(coverage, pdx)
             in_s1, in_s2_raw, in_masks, _, in_coord, in_s1_td, in_s2_td = \
                 self.get_imgs(pdx, inputs_idx)
             tg_s1, tg_s2_raw, tg_masks, _, tg_coord, tg_s1_td, tg_s2_td = \
@@ -330,7 +333,7 @@ class SEN12MSCRTS:
             # fully online (dataLoader.py:458-463)
             s1, s2_raw, masks, coverage, coord, s1_td, s2_td = self.get_imgs(pdx)
             inputs_idx, cloudless_idx, coverage_match = \
-                self._sample_indices(coverage)
+                self._sample_indices(coverage, pdx)
             input_s1 = [s1[i] for i in inputs_idx]
             input_masks = [masks[i] for i in inputs_idx]
             target_s1, target_mask = s1[cloudless_idx], masks[cloudless_idx]

@@ -46,18 +46,42 @@ def save_checkpoint(cfg, epoch: int, state: TrainState, name: str,
     return path
 
 
+def _migrate_legacy_conv_paths(tree):
+    """Lift legacy ``.../Conv2d_i/Conv_0/{kernel,bias}`` nodes one level up.
+
+    Early checkpoints were written when Conv2d wrapped ``nn.Conv`` (param
+    path ``Conv2d_i/Conv_0/kernel``); Conv2d now owns its kernel/bias
+    directly. Applied recursively, so optimizer-state copies of the param
+    tree migrate too."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        v = _migrate_legacy_conv_paths(v)
+        if isinstance(v, dict) and set(v) == {"Conv_0"} \
+                and isinstance(v["Conv_0"], dict):
+            v = v["Conv_0"]
+        out[k] = v
+    return out
+
+
 def load_checkpoint(cfg, checkp_dir: str, state: TrainState, name: str,
                     restore_opt: bool = True) -> Tuple[TrainState, Dict]:
     """Strict restore of a checkpoint into an existing state skeleton."""
     path, meta_path = _ckpt_paths(checkp_dir, cfg.experiment_name, name)
     with open(path, "rb") as f:
-        target = {
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-            "opt_state": jax.device_get(state.opt_state),
-            "step": 0,
-        }
-        payload = serialization.from_bytes(target, f.read())
+        data = f.read()
+    target = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": 0,
+    }
+    try:
+        payload = serialization.from_bytes(target, data)
+    except (ValueError, KeyError):
+        raw = _migrate_legacy_conv_paths(serialization.msgpack_restore(data))
+        payload = serialization.from_state_dict(target, raw)
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:

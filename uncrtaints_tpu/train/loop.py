@@ -28,6 +28,18 @@ from uncrtaints_tpu.train.observe import (
 S2_BANDS = 13
 
 
+def _to_host(x) -> np.ndarray:
+    """Fetch a (possibly multi-host-sharded) jax.Array as a full ndarray.
+
+    ``np.asarray`` raises on arrays spanning non-addressable devices; in
+    multi-process runs the global array is allgathered to every host first
+    (metric vectors and logged panels are small relative to the step)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def log_aleatoric(writer: Writer, cfg: Config, mode: str, step: int,
                   var: np.ndarray, name: str = "",
                   img_meter: Optional[AvgImgMetrics] = None):
@@ -146,8 +158,8 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
             state, aux = train_step(state, dev, jax.random.fold_in(base_rng, step))
             loss = float(aux["loss"])
             if writer is not None and step % cfg.display_step == 0:
-                pred = np.asarray(aux["pred"])
-                var = np.asarray(aux["var"]) if "var" in aux else None
+                pred = _to_host(aux["pred"])
+                var = _to_host(aux["var"]) if "var" in aux else None
                 log_train(writer, cfg, step, batch, pred, loss, var=var)
         else:
             aux = eval_step(state, dev)
@@ -159,9 +171,16 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
             has_var = cfg.loss in ("GNLL", "MGNLL") and "var" in aux
             bm = img_metrics_batch(dev["y"], aux["pred"],
                                    var=aux["var"] if has_var else None)
+            bm = {k: _to_host(v) for k, v in bm.items()}
+            # multi-host: bm/pred are GLOBAL after the allgather while
+            # batch["y"] is this host's slice; the mesh is built from
+            # jax.devices() (process-major), so this host's rows start at
+            # process_index * local_B
+            off = (jax.process_index() * B
+                   if next(iter(bm.values())).shape[0] != B else 0)
             pred = var = None  # host copies, materialized lazily below
             for bdx in range(B):
-                em = {k: float(v[bdx]) for k, v in bm.items()}
+                em = {k: float(v[off + bdx]) for k, v in bm.items()}
                 if has_var:
                     vars_aleatoric.append(em["mean var"])
                     errs.append(em["error"])
@@ -174,26 +193,26 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
                     (cfg.plot_every > 0 and idx % cfg.plot_every == 0)
                     or (cfg.export_every > 0 and idx % cfg.export_every == 0))
                 if need_host and pred is None:
-                    pred = np.asarray(aux["pred"])
-                    var = np.asarray(aux["var"]) if "var" in aux else None
+                    pred = _to_host(aux["pred"])
+                    var = _to_host(aux["var"]) if "var" in aux else None
                 if cfg.plot_every > 0 and idx % cfg.plot_every == 0:
                     plot_dir = os.path.join(cfg.res_dir, cfg.experiment_name,
                                             "plots", f"epoch_{epoch}", mode)
                     plot_img(batch["x"][bdx], "in", plot_dir, file_id=idx)
-                    plot_img(pred[bdx], "pred", plot_dir, file_id=idx)
+                    plot_img(pred[off + bdx], "pred", plot_dir, file_id=idx)
                     plot_img(y[bdx], "target", plot_dir, file_id=idx)
-                    err_img = ((pred[bdx] - y[bdx]) ** 2).mean(-1, keepdims=True)
+                    err_img = ((pred[off + bdx] - y[bdx]) ** 2).mean(-1, keepdims=True)
                     plot_img(err_img, "err", plot_dir, file_id=idx)
                     if var is not None:
-                        plot_img(var[bdx].mean(-1, keepdims=True), "var",
+                        plot_img(var[off + bdx].mean(-1, keepdims=True), "var",
                                  plot_dir, file_id=idx)
                 if cfg.export_every > 0 and idx % cfg.export_every == 0:
                     export_dir = os.path.join(cfg.res_dir, cfg.experiment_name,
                                               "export", f"epoch_{epoch}", mode)
-                    export(pred[bdx], "pred", export_dir, file_id=idx)
+                    export(pred[off + bdx], "pred", export_dir, file_id=idx)
                     export(y[bdx], "target", export_dir, file_id=idx)
                     if var is not None:
-                        export(var[bdx], "var", export_dir, file_id=idx)
+                        export(var[off + bdx], "var", export_dir, file_id=idx)
             n_seen += B
 
         losses.append(loss)
@@ -224,6 +243,6 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
         img_meter["AUCE SE"] = auce
         if writer is not None:
             log_aleatoric(writer, cfg, mode, last_step,
-                          np.asarray(aux["var"]), "model/", img_meter)
+                          _to_host(aux["var"]), "model/", img_meter)
 
     return state, metrics, img_meter.value()
