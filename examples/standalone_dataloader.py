@@ -9,8 +9,14 @@ or without data (synthetic source):
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+# runnable from anywhere: put the repo root (this file's parent's parent)
+# on sys.path without requiring an install or PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from uncrtaints_tpu.data.pipeline import BatchLoader, collate_multi
 
