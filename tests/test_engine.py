@@ -98,6 +98,62 @@ def test_multichip_dryrun_8_devices():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_poisoned_env_spawns_child(monkeypatch):
+    """Round-2 driver regression: env vars said JAX_PLATFORMS=cpu with
+    --xla_force_host_platform_device_count=8, but a sitecustomize had
+    force-registered the TPU plugin so jax.devices() was one TPU chip.
+    The inline fast path must gate on jax.devices() reality, not env
+    intent -- with a non-CPU backend it must take the sanitized child
+    path even when the env looks right."""
+    import sys, pathlib, types
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    monkeypatch.delenv(ge._CHILD_MARKER, raising=False)
+    # poison: jax reports a single TPU device despite the env
+    fake_tpu = types.SimpleNamespace(platform="tpu", id=0)
+    monkeypatch.setattr(ge.jax, "devices", lambda *a: [fake_tpu])
+    assert not ge._inline_ok(8)
+
+    calls = {}
+
+    def fake_run(cmd, **kw):
+        calls["env"] = kw["env"]
+        return types.SimpleNamespace(returncode=0, stdout="child ok\n")
+
+    monkeypatch.setattr(ge.subprocess, "run", fake_run)
+    inlined = []
+    monkeypatch.setattr(ge, "_dryrun_multichip_impl",
+                        lambda n: inlined.append(n))
+    ge.dryrun_multichip(8)
+    assert not inlined, "must not run inline on a 1-device TPU backend"
+    env = calls["env"]
+    assert env[ge._CHILD_MARKER] == "1"
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    # axon plugin triggers must be stripped so the child really gets CPU
+    assert not any(k.startswith(("AXON_", "PALLAS_AXON")) for k in env)
+    assert "axon" not in env.get("PYTHONPATH", "")
+
+
+def test_dryrun_multichip_child_marker_checks_reality(monkeypatch):
+    """If the sanitized child STILL comes up on a non-CPU backend (e.g. a
+    renamed sitecustomize trigger), it must fail with a diagnostic rather
+    than an opaque make_mesh error."""
+    import sys, pathlib, types
+    import pytest
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv(ge._CHILD_MARKER, "1")
+    fake_tpu = types.SimpleNamespace(platform="tpu", id=0)
+    monkeypatch.setattr(ge.jax, "devices", lambda *a: [fake_tpu])
+    with pytest.raises(RuntimeError, match="virtual CPU mesh"):
+        ge.dryrun_multichip(8)
+
+
 def test_legacy_conv_path_checkpoint_migrates(tmp_path):
     """Checkpoints written when Conv2d wrapped nn.Conv (param path
     Conv2d_i/Conv_0/kernel) must load into the current tree (kernel owned
