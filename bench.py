@@ -89,6 +89,11 @@ def main(train: bool = False, batch_size: int = None):
         "value": round(seq_per_sec, 2),
         "unit": "sequences/sec/chip",
         "vs_baseline": round(seq_per_sec / anchor, 2),
+        # the anchor is an extrapolation (reference measured on this host's
+        # CPU, scaled by the V100/host fp32 peak-FLOPs ratio), not a V100
+        # measurement -- don't read vs_baseline as a measured comparison
+        "vs_baseline_estimated": True,
+        "baseline_source": "cpu_measured_x_peak_flops_ratio",
     }))
 
 

@@ -1,0 +1,66 @@
+"""End-to-end CLI smoke: train -> val -> test through uncrtaints_tpu.cli.train
+on tiny synthetic data (the suite's analogue of the reference's runnable
+smoke scripts, SURVEY.md section 4). Exercises iterate() -- including the
+whole-batch eval metrics path, plot/export hooks, checkpointing, trainlog --
+none of which unit tests cover."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _tiny_cfg(tmp_path, **overrides):
+    from uncrtaints_tpu.config import Config, derive
+    base = dict(
+        use_sar=True, scale_by=10.0, batch_size=8, lr=1e-3,  # conftest mesh has 8 devices
+        epochs=1, input_t=3, max_samples_count=8,
+        synthetic_data=True, res_dir=str(tmp_path), experiment_name="smoke",
+        encoder_widths=[16], decoder_widths=[16, 16], n_head=4, d_model=32,
+        plot_every=4, export_every=4, display_step=1,
+    )
+    base.update(overrides)
+    return derive(Config(**base))
+
+
+def test_cli_train_end_to_end(tmp_path, monkeypatch):
+    import uncrtaints_tpu.cli.train as cli_train
+    from uncrtaints_tpu.data.synthetic import SyntheticSEN12MSCRTS
+
+    cfg = _tiny_cfg(tmp_path)
+
+    # shrink the synthetic patches so the CPU-mesh compile stays fast
+    mk = lambda seed: SyntheticSEN12MSCRTS(
+        n_samples=8, n_input_t=cfg.input_t, patch_size=32, seed=seed)
+    monkeypatch.setattr(cli_train, "build_datasets",
+                        lambda c: (mk(1), mk(2), mk(3)))
+
+    metrics = cli_train.main(cfg)
+
+    exp = os.path.join(str(tmp_path), "smoke")
+    assert os.path.isfile(os.path.join(exp, "conf.json"))
+    assert os.path.isfile(os.path.join(exp, "trainlog.json"))
+    assert os.path.isfile(os.path.join(exp, "model.ckpt"))
+    assert os.path.isfile(os.path.join(exp, "test_metrics.json"))
+
+    with open(os.path.join(exp, "test_metrics.json")) as f:
+        tm = json.load(f)
+    for key in ("RMSE", "MAE", "PSNR", "SAM", "SSIM",
+                "mean var", "UCE SE", "AUCE SE"):
+        assert key in tm and np.isfinite(tm[key]), key
+
+    # plot/export hooks fired (plot_every/export_every = 4 over 8 samples)
+    plots = []
+    for root, _, files in os.walk(os.path.join(exp, "plots")):
+        plots += [f for f in files if f.endswith(".png")]
+    assert plots, "plot_every produced no images"
+    exports = []
+    for root, _, files in os.walk(os.path.join(exp, "export")):
+        exports += [f for f in files if f.endswith(".npy")]
+    assert any("pred" in f for f in exports)
+    assert any("target" in f for f in exports)
+    assert any("var" in f for f in exports)
+
+    # the discard-curve calibration artifact of the final test pass
+    assert os.path.isfile(os.path.join(exp, "plot_test_SE_discard.png"))

@@ -122,3 +122,25 @@ def test_loss_factory_and_calc_loss():
     loss2, v2 = calc_loss(crit2, cfg2, pred, targ)
     assert v2 is None
     assert abs(float(loss2) - float(jnp.mean((pred - targ) ** 2))) < 1e-6
+
+
+def test_mgnll_clamps_only_first_s2_bands():
+    """Reference quirk (losses.py:205): only variance[..., :S2_BANDS] is
+    eps-clamped. With a hypothetical >13-channel variance, channels past 13
+    must pass through unclamped (and feed log() unprotected, as in torch)."""
+    k = 15
+    pred = jnp.zeros((1, 1, 2, 2, k))
+    targ = jnp.ones((1, 1, 2, 2, k))
+    # eps=0.25 is exactly representable so the stop-gradient clamp
+    # (var + sg(clamped - var)) reproduces it bit-exactly in fp32
+    var = jnp.full((1, 1, 2, 2, k), 0.5).at[..., 0].set(-1.0).at[..., 14].set(-1.0)
+    _, v = multi_gaussian_nll_loss(pred, targ, var, eps=0.25, mode="diag",
+                                   reduction="mean")
+    assert float(v[0, 0, 0, 0, 0]) == 0.25     # clamped (band < 13)
+    assert float(v[0, 0, 0, 0, 14]) == -1.0    # untouched (band >= 13)
+    # the shipped 13-channel path still clamps everything
+    var13 = jnp.full((1, 1, 2, 2, 13), -1.0)
+    _, v13 = multi_gaussian_nll_loss(jnp.zeros((1, 1, 2, 2, 13)),
+                                     jnp.ones((1, 1, 2, 2, 13)), var13,
+                                     eps=0.25, mode="diag")
+    assert float(v13.min()) == 0.25

@@ -93,3 +93,51 @@ def test_global_batch_from_process_local_data_shapes():
     assert dev["x"].shape == (8, 2, 8, 8, 15)
     assert dev["x"].sharding == sh
     assert dev["dates"] is None
+
+
+def test_maybe_init_distributed_bare_coordinator_address(monkeypatch):
+    """With only COORDINATOR_ADDRESS (no JAX_* vars), initialize() must get
+    explicit coordinator_address/num_processes/process_id -- a no-arg call
+    would ignore the bare var entirely (ADVICE r2)."""
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:9999")
+    monkeypatch.setenv("NUM_PROCESSES", "4")
+    monkeypatch.setenv("PROCESS_ID", "3")
+    monkeypatch.setattr(mesh_mod, "_distributed_initialized", False)
+    seen = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: seen.update(kw))
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert maybe_init_distributed() == (3, 4)
+    assert seen == {"coordinator_address": "10.0.0.1:9999",
+                    "num_processes": 4, "process_id": 3}
+
+
+def test_host_row_offset_from_sharding():
+    """The eval loop derives this host's rows in the global batch from the
+    sharded array's addressable shard indices, NOT process_index * B (the
+    mesh may not be process-major -- ADVICE r2 / VERDICT r2 weak 7)."""
+    import types
+    import numpy as np
+    import jax.numpy as jnp
+    from uncrtaints_tpu.train.loop import _host_row_offset
+
+    # fully-addressable (single process) and plain host arrays: offset 0
+    assert _host_row_offset(jnp.zeros((4, 2)), 4) == 0
+    assert _host_row_offset(np.zeros((4, 2)), 4) == 0
+
+    # a global array whose addressable shards cover rows 8..11, shard list
+    # deliberately unordered: offset is the min global start
+    shard = lambda s0: types.SimpleNamespace(index=(slice(s0, s0 + 2),
+                                                    slice(None)))
+    fake = types.SimpleNamespace(is_fully_addressable=False,
+                                 addressable_shards=[shard(10), shard(8)])
+    assert _host_row_offset(fake, 2) == 8
+
+    # slice(None, k) start (first shard of the batch axis) counts as 0
+    fake0 = types.SimpleNamespace(
+        is_fully_addressable=False,
+        addressable_shards=[types.SimpleNamespace(index=(slice(None, 2),
+                                                         slice(None)))])
+    assert _host_row_offset(fake0, 2) == 0

@@ -101,6 +101,14 @@ def build_datasets(cfg: Config):
 
 
 def main(cfg: Config) -> dict:
+    # multi-host: initialize jax.distributed FIRST -- initialize() errors
+    # once the backend has been touched, and both jax.profiler.start_trace
+    # and jax.config side effects below can initialize it
+    from uncrtaints_tpu.parallel import (
+        make_mesh, batch_sharding as mk_bs, replicated_sharding,
+        maybe_init_distributed)
+    host, n_hosts = maybe_init_distributed()
+
     exp_dir = os.path.join(cfg.res_dir, cfg.experiment_name)
     os.makedirs(exp_dir, exist_ok=True)
     seed_everything(cfg.rdm_seed)
@@ -120,13 +128,8 @@ def main(cfg: Config) -> dict:
     dt_train, dt_val, dt_test = cap(dt_train), cap(dt_val), cap(dt_test)
     print(f"Train {len(dt_train)}, Val {len(dt_val)}, Test {len(dt_test)}")
 
-    # multi-host: initialize jax.distributed when coordination env vars are
-    # set; each host then feeds a disjoint strided shard of the dataset and
-    # its slice of the global batch (SURVEY.md section 2 DCN plan)
-    from uncrtaints_tpu.parallel import (
-        make_mesh, batch_sharding as mk_bs, replicated_sharding,
-        maybe_init_distributed)
-    host, n_hosts = maybe_init_distributed()
+    # each host feeds a disjoint strided shard of the dataset and its slice
+    # of the global batch (SURVEY.md section 2 DCN plan)
     if cfg.batch_size % n_hosts != 0:
         raise ValueError(f"batch_size {cfg.batch_size} must be divisible by "
                          f"the {n_hosts} participating hosts")

@@ -85,8 +85,16 @@ def multi_gaussian_nll_loss(pred: jax.Array, target: jax.Array, var: jax.Array,
     if mode == "iso":
         var = jnp.broadcast_to(var, var.shape[:-1] + (S2_BANDS,))
     k = pred.shape[-1]
-    # clamp only the first S2_BANDS channels (reference quirk, losses.py:205)
-    var = _clamp_nograd(var, eps)
+    # clamp only the first S2_BANDS variance channels (reference quirk,
+    # losses.py:205: `variance[:, :, :S2_BANDS, ...].clamp_(min=eps)`);
+    # channels beyond 13 -- none exist in any shipped covmode, where the
+    # spectral axis is exactly S2_BANDS -- would pass through unclamped
+    if var.shape[-1] > S2_BANDS:
+        var = jnp.concatenate(
+            [_clamp_nograd(var[..., :S2_BANDS], eps), var[..., S2_BANDS:]],
+            axis=-1)
+    else:
+        var = _clamp_nograd(var, eps)
 
     err = pred - target
     logdet = jnp.log(var).sum(axis=-1)                     # [B,1,H,W]

@@ -104,14 +104,16 @@ def img_metrics_batch(target: jax.Array, pred: jax.Array,
     the reference's per-item img_metrics loop re-serialized what the fused
     eval step won). target/pred: [B, 1, H, W, C]; var same or None.
 
-    Returns {metric: np.ndarray [B]} -- iterate() feeds them per-sample into
-    the nan-skipping AvgImgMetrics meter, numerically identical to B separate
-    img_metrics calls."""
+    Returns {metric: jax.Array [B]} -- RAW device arrays, NOT ndarrays: in a
+    multi-host run the inputs are global sharded arrays, so the [B] outputs
+    span non-addressable devices and np.asarray would raise. The caller
+    (iterate()) owns the host transfer via its _to_host/process_allgather
+    helper; it feeds the values per-sample into the nan-skipping
+    AvgImgMetrics meter, numerically identical to B separate img_metrics
+    calls."""
     if var is not None:
-        out = _metrics_batch_var(target, pred, var)
-    else:
-        out = _metrics_batch_novar(target, pred)
-    return {k: np.asarray(v) for k, v in out.items()}
+        return _metrics_batch_var(target, pred, var)
+    return _metrics_batch_novar(target, pred)
 
 
 class AvgImgMetrics:

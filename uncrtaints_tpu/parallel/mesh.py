@@ -41,7 +41,18 @@ def maybe_init_distributed() -> Tuple[int, int]:
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
         os.environ.get("COORDINATOR_ADDRESS")
     if coord and not _distributed_initialized:
-        jax.distributed.initialize()
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            # jax reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+            # JAX_PROCESS_ID itself
+            jax.distributed.initialize()
+        else:
+            # bare COORDINATOR_ADDRESS: initialize() with no args would
+            # ignore it (it only reads the JAX_* vars or cluster
+            # auto-detection), so pass everything explicitly
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ.get("NUM_PROCESSES", "1")),
+                process_id=int(os.environ.get("PROCESS_ID", "0")))
         _distributed_initialized = True
     return jax.process_index(), jax.process_count()
 

@@ -58,8 +58,14 @@ def _migrate_legacy_conv_paths(tree):
     out = {}
     for k, v in tree.items():
         v = _migrate_legacy_conv_paths(v)
-        if isinstance(v, dict) and set(v) == {"Conv_0"} \
-                and isinstance(v["Conv_0"], dict):
+        # Restrict the lift to the known legacy wrapper shape: parent key
+        # from the Conv2d wrapper family AND the Conv_0 node holding exactly
+        # conv leaves {kernel[, bias]}. A module that legitimately contains
+        # a single nn.Conv child named Conv_0 must NOT be restructured.
+        if (isinstance(v, dict) and set(v) == {"Conv_0"}
+                and isinstance(v["Conv_0"], dict)
+                and k.split("_")[0] == "Conv2d"
+                and set(v["Conv_0"]) in ({"kernel"}, {"kernel", "bias"})):
             v = v["Conv_0"]
         out[k] = v
     return out

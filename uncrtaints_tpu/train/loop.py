@@ -28,6 +28,23 @@ from uncrtaints_tpu.train.observe import (
 S2_BANDS = 13
 
 
+def _host_row_offset(arr, local_B: int) -> int:
+    """This process's starting row in a [B_global, ...] batch-sharded array.
+
+    After the eval allgather the metric vectors are GLOBAL while the host's
+    loader batch is its local slice; attribution needs the local->global row
+    offset. Deriving it as ``process_index * local_B`` assumes the mesh is
+    process-major, which mesh_utils.create_device_mesh does not guarantee
+    (it may reorder devices for ICI topology). Instead read the offset off
+    the sharding itself: the smallest global batch index among this
+    process's addressable shards. ``make_array_from_process_local_data``
+    requires each process's span of the global array to be contiguous, so
+    the min start fully determines the local->global mapping."""
+    if getattr(arr, "is_fully_addressable", True):
+        return 0
+    return min((s.index[0].start or 0) for s in arr.addressable_shards)
+
+
 def _to_host(x) -> np.ndarray:
     """Fetch a (possibly multi-host-sharded) jax.Array as a full ndarray.
 
@@ -171,13 +188,13 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
             has_var = cfg.loss in ("GNLL", "MGNLL") and "var" in aux
             bm = img_metrics_batch(dev["y"], aux["pred"],
                                    var=aux["var"] if has_var else None)
+            # multi-host: bm's [B_global] device arrays span non-addressable
+            # devices; _to_host allgathers them (img_metrics_batch returns
+            # raw jax arrays for exactly this reason). batch["y"] is this
+            # host's slice, so index global rows at the sharding-derived
+            # offset.
+            off = _host_row_offset(aux["pred"], B)
             bm = {k: _to_host(v) for k, v in bm.items()}
-            # multi-host: bm/pred are GLOBAL after the allgather while
-            # batch["y"] is this host's slice; the mesh is built from
-            # jax.devices() (process-major), so this host's rows start at
-            # process_index * local_B
-            off = (jax.process_index() * B
-                   if next(iter(bm.values())).shape[0] != B else 0)
             pred = var = None  # host copies, materialized lazily below
             for bdx in range(B):
                 em = {k: float(v[off + bdx]) for k, v in bm.items()}
