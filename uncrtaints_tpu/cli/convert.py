@@ -19,7 +19,7 @@ def create_parser():
                    help="dataset root (required unless --synthetic_data)")
     p.add_argument("--split", default="train", type=str)
     p.add_argument("--region", default="all", type=str)
-    p.add_argument("--cloud_masks", default="cloud_cloudshadow_mask", type=str)
+    p.add_argument("--cloud_masks", default="s2cloudless_mask", type=str)
     p.add_argument("--out", required=True, type=str)
     p.add_argument("--max_patches", default=None, type=int)
     p.add_argument("--synthetic_data", action="store_true",

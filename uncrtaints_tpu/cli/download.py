@@ -26,6 +26,18 @@ MEDIATUM = {
 REGIONS = ["africa", "america", "asiaEast", "asiaWest", "europa"]
 MODALITIES = ["s1", "s2"]
 
+# Standard s2cloudless LightGBM weights (publicly distributed with
+# sentinel2-cloud-detector releases) -- needed by the default cloud mask
+# (cloud_masks='s2cloudless_mask', dataLoader.py:145 parity).
+S2CLOUDLESS_MODEL = "pixel_s2_cloud_detector_lightGBM_v0.1.txt"
+S2CLOUDLESS_URL = ("https://github.com/sentinel-hub/sentinel2-cloud-detector/"
+                   f"raw/master/s2cloudless/models/{S2CLOUDLESS_MODEL}")
+
+
+def s2cloudless_cache_dir() -> str:
+    return os.path.join(os.path.expanduser(
+        os.environ.get("XDG_CACHE_HOME", "~/.cache")), "uncrtaints_tpu")
+
 
 def create_parser():
     p = argparse.ArgumentParser()
@@ -38,12 +50,20 @@ def create_parser():
     p.add_argument("--dest", default="./data", type=str)
     p.add_argument("--run", action="store_true",
                    help="execute wget/tar instead of printing the plan")
+    p.add_argument("--s2cloudless-weights", dest="s2cloudless_weights",
+                   action="store_true",
+                   help="fetch ONLY the standard s2cloudless LightGBM model "
+                        "file into the cache dir (needed by the default "
+                        "cloud_masks='s2cloudless_mask')")
     return p
 
 
 def plan(args):
     cmds = []
     dest = os.path.expanduser(args.dest)
+    if getattr(args, "s2cloudless_weights", False):
+        out = os.path.join(s2cloudless_cache_dir(), S2CLOUDLESS_MODEL)
+        return [["wget", "-c", "-O", out, S2CLOUDLESS_URL]]
     if args.dataset == "sen12mscr":
         url = f"https://dataserv.ub.tum.de/s/m{MEDIATUM['sen12mscr']}/download"
         cmds.append(["wget", "-c", url, "-P", dest])
@@ -64,6 +84,8 @@ def plan(args):
 
 def main(args):
     cmds = plan(args)
+    if getattr(args, "s2cloudless_weights", False):
+        os.makedirs(s2cloudless_cache_dir(), exist_ok=True)
     os.makedirs(os.path.expanduser(args.dest), exist_ok=True)
     for c in cmds:
         print(" ".join(c))

@@ -45,7 +45,7 @@ def create_parser():
                    help="export dirs of each member (epoch/mode resolved inside)")
     p.add_argument("--epoch", default=1, type=int)
     p.add_argument("--synthetic_data", action="store_true")
-    p.add_argument("--cloud_masks", default="cloud_cloudshadow_mask", type=str)
+    p.add_argument("--cloud_masks", default="s2cloudless_mask", type=str)
     return p
 
 
@@ -55,7 +55,12 @@ def member_dir(base: str, epoch: int, mode: str) -> str:
 
 
 def load_member_arrays(paths: List[str], sample_name: str):
-    """Load each member's pred + covar|var for one sample; None if missing."""
+    """Load each member's pred + covar|var for one sample; None if missing.
+
+    Covariance exports ([C, C, H, W], the reference's MGNLL format) are
+    reduced to their diagonal [C, H, W] here so members exporting covar and
+    members exporting compact var stack homogeneously
+    (ensemble_reconstruct.py:96-114 semantics)."""
     means, variances = [], []
     for p in paths:
         mp = os.path.join(p, sample_name)
@@ -67,7 +72,10 @@ def load_member_arrays(paths: List[str], sample_name: str):
             vp = mp.replace("_pred", "_var")
         if not os.path.isfile(vp):
             return None, None
-        variances.append(np.load(vp))
+        v = np.load(vp)
+        if v.ndim == 4 and v.shape[0] == v.shape[1]:   # [C, C, H, W]
+            v = np.moveaxis(np.diagonal(v, axis1=0, axis2=1), -1, 0)
+        variances.append(v)
     return np.array(means), np.array(variances)
 
 
@@ -85,22 +93,28 @@ def fuse(mean: np.ndarray, var: np.ndarray, uncertainty: str):
     return mean_ens, var_ens
 
 
-def get_targets(args, idx: int):
-    """Re-derive targets from the dataset (ensemble_reconstruct.py:84-93)."""
+def build_target_dataset(args):
+    """The target dataset, constructed ONCE (ensemble_reconstruct.py:84) --
+    constructing per sample would re-index the whole directory tree for
+    every prediction, i.e. quadratic wall-clock on real data."""
     if args.synthetic_data:
         from uncrtaints_tpu.data.synthetic import SyntheticSEN12MSCRTS
-        ds = SyntheticSEN12MSCRTS(n_samples=args.max_samples
-                                  if args.max_samples < 1e9 else 64,
-                                  n_input_t=args.in_time, patch_size=256, seed=3)
-    else:
-        from uncrtaints_tpu.data.sen12mscrts import SEN12MSCRTS
-        ds = SEN12MSCRTS(os.path.join(args.root, "SEN12MSCRTS"),
-                         split=args.mode, region=args.region,
-                         sample_type="cloudy_cloudfree",
-                         cloud_masks=args.cloud_masks,
-                         n_input_samples=args.in_time)
+        return SyntheticSEN12MSCRTS(n_samples=args.max_samples
+                                    if args.max_samples < 1e9 else 64,
+                                    n_input_t=args.in_time, patch_size=256,
+                                    seed=3)
+    from uncrtaints_tpu.data.sen12mscrts import SEN12MSCRTS
+    return SEN12MSCRTS(os.path.join(args.root, "SEN12MSCRTS"),
+                       split=args.mode, region=args.region,
+                       sample_type="cloudy_cloudfree",
+                       cloud_masks=args.cloud_masks,
+                       n_input_samples=args.in_time)
+
+
+def get_target(ds, idx: int):
+    """Target S2 frame of the idx-th sample as [1, H, W, 13]."""
     s = ds[idx]
-    return np.moveaxis(np.asarray(s["target"]["S2"][0]), 0, -1)[None]  # [1,H,W,13]
+    return np.moveaxis(np.asarray(s["target"]["S2"][0]), 0, -1)[None]
 
 
 def main(args) -> dict:
@@ -111,6 +125,13 @@ def main(args) -> dict:
 
     samples = natsorted(f for f in os.listdir(paths[0]) if "_pred" in f
                         and f.endswith(".npy") and "_t-" not in f)
+    ds = build_target_dataset(args)
+    # every exported prediction must have a target to compare against
+    # (ensemble_reconstruct.py:85)
+    n_eval = min(len(samples), args.max_samples)
+    assert len(ds) >= n_eval, (
+        f"{len(samples)} exported predictions but target dataset has only "
+        f"{len(ds)} samples -- export/dataset mismatch")
     img_meter = AvgImgMetrics()
     vars_aleatoric, errs, errs_se, errs_ae = [], [], [], []
 
@@ -121,15 +142,12 @@ def main(args) -> dict:
         if mean is None:
             print(f"Skipped sample {idx}, missing data.")
             continue
-        # covariance tensors -> variances (diagonal)
-        if var.ndim > 4:
-            var = np.moveaxis(np.diagonal(var, axis1=1, axis2=2), -1, 1)
         if args.ensemble:
             mean_e, var_e = fuse(mean, var, args.uncertainty)
         else:
             mean_e, var_e = mean[0], var[0]
 
-        y = get_targets(args, idx)
+        y = get_target(ds, idx)
         # exports are CHW; metrics are NHWC
         mean_hwc = np.moveaxis(mean_e, 0, -1)[None]
         var_hwc = np.moveaxis(var_e, 0, -1)[None]

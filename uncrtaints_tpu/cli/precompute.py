@@ -26,7 +26,7 @@ def create_parser():
     p.add_argument("--split", default="train", type=str)
     p.add_argument("--region", default="all", type=str)
     p.add_argument("--input_t", default=3, type=int)
-    p.add_argument("--cloud_masks", default="cloud_cloudshadow_mask", type=str)
+    p.add_argument("--cloud_masks", default="s2cloudless_mask", type=str)
     p.add_argument("--out_dir", default="precomputed", type=str)
     p.add_argument("--sample_dates", action="store_true",
                    help="also export fixed-sampler date indices per patch")

@@ -138,7 +138,12 @@ class Config:
     # TPU-native additions (absent in the reference; safe defaults)
     mesh_shape: Optional[int] = None     # number of data-parallel devices; None = all
     compute_dtype: str = "bfloat16"      # matmul/conv compute dtype on TPU
-    cloud_masks: str = "cloud_cloudshadow_mask"  # on-device threshold detector
+    cloud_masks: str = "s2cloudless_mask"  # reference default (dataLoader.py:145);
+                                         # the ML detector needs the standard
+                                         # LightGBM weights on disk -- fetch via
+                                         # `cli.download --s2cloudless-weights`
+                                         # or pass cloud_cloudshadow_mask for
+                                         # the on-device threshold detector
     synthetic_data: bool = False         # use the synthetic data source (tests/bench)
     remat: bool = False                  # rematerialize conv blocks (memory<->FLOPs)
     debug_nans: bool = False             # jax_debug_nans for fault isolation

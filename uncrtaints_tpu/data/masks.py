@@ -15,11 +15,13 @@ Math parity (all verified against a numpy/scipy re-derivation in tests):
 - shadow: CSI=(B08+B11)/2 vs adaptive thresholds on CSI and blue band,
   5x5 median filter
 - merged mask: shadows -> -1, clouds -> +1, binarized to {0,1}
-- s2cloudless modes (ML detector): served by the optional `s2cloudless`
-  package if installed, else by the self-contained LightGBM tree-inference
-  port in data/s2cloudless.py (weights file via $S2CLOUDLESS_MODEL_PATH);
-  only when neither yields a detector do we fall back to the threshold
-  detector with a warning (dataLoader.py:216-218 gating).
+- s2cloudless modes (ML detector, the reference DEFAULT): served by the
+  optional `s2cloudless` package if installed, else by the self-contained
+  LightGBM tree-inference port in data/s2cloudless.py (weights file via
+  the cli.download cache or $S2CLOUDLESS_MODEL_PATH). When neither yields
+  a detector the dispatch raises -- a silent threshold-detector fallback
+  would change coverage stats, sampled frames and metrics vs the
+  reference recipe (dataLoader.py:216-218 gating).
 
 Input convention: `img` is the RAW (unrescaled) S2 stack, bands on the LAST
 axis ([..., H, W, 13], NHWC) in [0, 10000].
@@ -133,14 +135,10 @@ def _build_s2cloudless():
         return make_detector()
 
 
-_S2C_WARNED = False
-
-
 def get_cloud_map(img: np.ndarray, detector: str = "cloud_cloudshadow_mask",
                   instance=None) -> np.ndarray:
     """Mask dispatch with blank-image guard (dataLoader.py:84-106).
     img: [..., H, W, 13] raw S2 (bands LAST). Returns float32 mask."""
-    global _S2C_WARNED
     img = np.clip(img, 0, 10000)
     hw = img.shape[-3:-1]
     if img.mean() < 1e-5 and img.std() < 1e-5:
@@ -150,11 +148,18 @@ def get_cloud_map(img: np.ndarray, detector: str = "cloud_cloudshadow_mask",
     if detector in ("s2cloudless_map", "s2cloudless_mask"):
         inst = instance if instance is not None else _try_s2cloudless()
         if inst is None:
-            if not _S2C_WARNED:
-                warnings.warn("s2cloudless unavailable; falling back to the "
-                              "threshold cloud/shadow detector.")
-                _S2C_WARNED = True
-            detector = "cloud_cloudshadow_mask"
+            # NO silent fallback: s2cloudless is the reference's default
+            # detector, and substituting the threshold detector changes
+            # coverage stats -> sampled frames -> metrics. Fail loudly;
+            # the threshold detector must be an explicit choice.
+            raise RuntimeError(
+                "cloud_masks='%s' needs the s2cloudless LightGBM weights, "
+                "which were not found. Fetch the standard model file with "
+                "`python -m uncrtaints_tpu.cli.download --s2cloudless-weights"
+                " --run` (or set $S2CLOUDLESS_MODEL_PATH to a copy of "
+                "pixel_s2_cloud_detector_lightGBM_v0.1.txt). To use the "
+                "threshold detector instead, pass --cloud_masks "
+                "cloud_cloudshadow_mask explicitly." % detector)
         else:
             x = (img / 10000.0)[None]  # [1, H, W, 13]
             if detector == "s2cloudless_map":

@@ -243,13 +243,16 @@ def find_model_file(model_path: Optional[str] = None) -> str:
     """Locate the standard s2cloudless LightGBM model file.
 
     Search order: explicit argument -> $S2CLOUDLESS_MODEL_PATH -> the
-    installed s2cloudless package's models/ dir -> CWD."""
+    cli.download weights cache -> the installed s2cloudless package's
+    models/ dir -> CWD."""
     candidates = []
     if model_path:
         candidates.append(model_path)
     env = os.environ.get(_MODEL_PATH_ENV)
     if env:
         candidates.append(env)
+    from uncrtaints_tpu.cli.download import s2cloudless_cache_dir
+    candidates.append(os.path.join(s2cloudless_cache_dir(), _MODEL_FILENAME))
     try:
         import s2cloudless as _pkg  # reuse the official weights if present
         candidates.append(os.path.join(os.path.dirname(_pkg.__file__),
@@ -261,8 +264,10 @@ def find_model_file(model_path: Optional[str] = None) -> str:
         if c and os.path.isfile(c):
             return c
     raise FileNotFoundError(
-        f"s2cloudless model weights not found; set ${_MODEL_PATH_ENV} to a "
-        f"copy of {_MODEL_FILENAME} (ships with s2cloudless releases)")
+        f"s2cloudless model weights not found; fetch with `python -m "
+        f"uncrtaints_tpu.cli.download --s2cloudless-weights --run` or set "
+        f"${_MODEL_PATH_ENV} to a copy of {_MODEL_FILENAME} (ships with "
+        f"s2cloudless releases)")
 
 
 def make_detector(model_path: Optional[str] = None) -> Optional[S2CloudlessDetector]:

@@ -22,7 +22,7 @@ from uncrtaints_tpu.metrics import (
     img_metrics_batch, AvgImgMetrics, compute_ece, compute_uce_auce,
 )
 from uncrtaints_tpu.train.observe import (
-    Writer, plot_img, export, plot_discard, plot_err_vs_var,
+    Writer, plot_img, export, diag_to_covar, plot_discard, plot_err_vs_var,
 )
 
 S2_BANDS = 13
@@ -229,7 +229,15 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
                     export(pred[off + bdx], "pred", export_dir, file_id=idx)
                     export(y[bdx], "target", export_dir, file_id=idx)
                     if var is not None:
-                        export(var[off + bdx], "var", export_dir, file_id=idx)
+                        if cfg.loss == "MGNLL":
+                            # reference parity (train_reconstruct.py:351-353):
+                            # MGNLL exports the [C,C,H,W] covariance tensor
+                            # its ensemble tooling consumes
+                            export(diag_to_covar(var[off + bdx]), "covar",
+                                   export_dir, file_id=idx)
+                        else:
+                            export(var[off + bdx], "var", export_dir,
+                                   file_id=idx)
             n_seen += B
 
         losses.append(loss)

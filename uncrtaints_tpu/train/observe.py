@@ -125,6 +125,22 @@ def export(arrs, mod: str, export_dir: str, file_id=None):
                 np.moveaxis(arr, -1, 0) if arr.ndim == 3 else arr)
 
 
+def diag_to_covar(var) -> np.ndarray:
+    """[T, H, W, C] diagonal variance -> [T, C, C, H, W] covariance tensor.
+
+    Reference-side interchange: with MGNLL the reference exports per-sample
+    ``img-{i}_covar.npy`` tensors of shape [C, C, H, W]
+    (train_reconstruct.py:351-353) which its ensemble tooling consumes by
+    taking the diagonal (ensemble_reconstruct.py:113-114). We keep the
+    compact diagonal on device and expand only at export time."""
+    v = np.moveaxis(np.asarray(var), -1, 1)          # [T, C, H, W]
+    t, c = v.shape[0], v.shape[1]
+    out = np.zeros((t, c, c) + v.shape[2:], v.dtype)
+    idx = np.arange(c)
+    out[:, idx, idx] = v
+    return out
+
+
 def plot_discard(sorted_errors: np.ndarray, cfg, mode: str, step: int,
                  writer: Optional[Writer] = None, is_se: bool = True):
     """Discard curve + linear fit (train_reconstruct.py:449-471)."""
