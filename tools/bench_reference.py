@@ -8,7 +8,7 @@ Measures, at the paper eval shape (B=4, T=3, 256x256, SAR, MGNLL diag):
   2. reference torch forward + MGNLL loss  (model/src/losses.py, chunked vmap)
   3. our jax CPU eval step (forward + closed-form MGNLL + rescale)
 
-Run from /root/repo:  JAX_PLATFORMS=cpu python tools_bench_reference.py
+Run from /root/repo:  JAX_PLATFORMS=cpu python tools/bench_reference.py
 (the reference tree is imported read-only for measurement, never copied).
 """
 

@@ -8,7 +8,7 @@ Variants:
   conv      -- norm apply + gelu -> lax conv_general_dilated (current path)
   shifts    -- norm apply + gelu -> reflect pad -> 9 static slices x w + add
                (fusible elementwise graph, no opaque conv op)
-Run: python tools_dw_bench.py
+Run: python tools/dw_bench.py
 """
 
 import time

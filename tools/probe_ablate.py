@@ -3,7 +3,7 @@ measure the delta. XLA DCEs computations whose outputs are unused, so
 replacing a component's output with a cheap substitute measures its true
 in-program cost (including lost fusion opportunities).
 
-Run: python tools_probe_ablate.py [names...]
+Run: python tools/probe_ablate.py [names...]
 """
 
 import sys

@@ -3,7 +3,7 @@
 Times each op of the decoder MBConv (batch-norm eval, [8,256,256,128] bf16)
 and the encoder variant in isolation, plus the round-1 Pallas kernels at the
 same size, to decide where fused kernels pay.
-Run from /root/repo: python tools_probe_block.py
+Run from /root/repo: python tools/probe_block.py
 """
 
 import time

@@ -5,7 +5,7 @@
 2. dw via MXU matmul W-shifts + sliced H-combine
 3. dw via Pallas with static sublane slices on a W-halo'd bf16 block
 
-Run: python tools_probe_dw2.py
+Run: python tools/probe_dw2.py
 """
 
 import time

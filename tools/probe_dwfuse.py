@@ -5,7 +5,7 @@ gelu(affine2(.)). With dw as lax.conv, XLA cannot fuse the elementwise
 stages into it (convs take no fused operands), costing 3 full HBM
 round-trips. Expressed as pad + 9 static slices + FMA, the whole chain is
 one fusible DAG. Measures both at production shape. Run: python
-tools_probe_dwfuse.py
+tools/probe_dwfuse.py
 """
 
 import time

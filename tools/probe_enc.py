@@ -1,5 +1,5 @@
 """Isolate the encoder regression: 1x1 conv vs einsum at 24 frames, alone
-and composed with group-norm. Run: python tools_probe_enc.py"""
+and composed with group-norm. Run: python tools/probe_enc.py"""
 
 import time
 

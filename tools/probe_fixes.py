@@ -1,6 +1,6 @@
 """Probe cheap XLA-level fixes: fast-erf GELU, SAME-pad dw conv, B sweep.
 
-Run from /root/repo: python tools_probe_fixes.py
+Run from /root/repo: python tools/probe_fixes.py
 """
 
 import time

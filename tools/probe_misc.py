@@ -1,5 +1,5 @@
 """Probe: matrix-resize vs gather-resize, pool variants, B=16 eval.
-Run: python tools_probe_misc.py"""
+Run: python tools/probe_misc.py"""
 
 import time
 

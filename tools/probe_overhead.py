@@ -1,6 +1,6 @@
 """Calibrate per-dispatch overhead and peak HBM copy bandwidth (scratch).
 
-Run from /root/repo: python tools_probe_overhead.py
+Run from /root/repo: python tools/probe_overhead.py
 """
 
 import time

@@ -1,6 +1,6 @@
 """Micro-benchmark Mosaic data movement options for the dw3x3 kernel:
 bf16 vs fp32 sublane rolls, and a full dw kernel variant in bf16.
-Run: python tools_probe_roll.py"""
+Run: python tools/probe_roll.py"""
 
 import functools
 import time

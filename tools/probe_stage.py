@@ -1,6 +1,6 @@
 """Cumulative-stage timing of the decoder-eval MBConv to localize XLA fusion
 gaps. Each bench adds one more stage of the block; the delta is that stage's
-marginal cost inside the fused graph. Run: python tools_probe_stage.py"""
+marginal cost inside the fused graph. Run: python tools/probe_stage.py"""
 
 import time
 

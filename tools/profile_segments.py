@@ -2,7 +2,7 @@
 
 Times each architectural segment in isolation at production shape
 (B=8, T=3, 256x256, C=128, bf16) to locate the HBM/time hotspots.
-Run from /root/repo: python tools_profile_segments.py
+Run from /root/repo: python tools/profile_segments.py
 """
 
 import time

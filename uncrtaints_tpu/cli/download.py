@@ -97,5 +97,10 @@ def main(args):
               "time-point folders, e.g. `mv */* .` in the parent dir)")
 
 
-if __name__ == "__main__":
+def cli_main():
+    """Console entry point (pyproject: uncrtaints-download)."""
     main(create_parser().parse_args())
+
+
+if __name__ == "__main__":
+    cli_main()

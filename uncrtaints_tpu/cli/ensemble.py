@@ -184,5 +184,10 @@ def main(args) -> dict:
     return img_meter.value()
 
 
-if __name__ == "__main__":
+def cli_main():
+    """Console entry point (pyproject: uncrtaints-ensemble)."""
     main(create_parser().parse_args())
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -75,5 +75,10 @@ def main(args) -> str:
     return out
 
 
-if __name__ == "__main__":
+def cli_main():
+    """Console entry point (pyproject: uncrtaints-precompute)."""
     main(create_parser().parse_args())
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -105,5 +105,10 @@ def main(cfg: Config) -> dict:
     return img_metrics_val
 
 
-if __name__ == "__main__":
+def cli_main():
+    """Console entry point (pyproject: uncrtaints-test)."""
     main(load_test_config())
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -273,7 +273,12 @@ def save_results(metrics: dict, path: str, split: str = "test"):
         json.dump({k: v for k, v in clean.items() if v is not None}, f, indent=4)
 
 
-if __name__ == "__main__":
+def cli_main():
+    """Console entry point (pyproject: uncrtaints-train)."""
     cfg = derive(parse_config(mode="train"))
     cfg = apply_resume(cfg)
     main(cfg)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -32,6 +32,18 @@ data: not implemented", measured 2026-08). The production eval path instead
 reached its speed via XLA-level rewrites (eval-mode norm folding, pad-free
 reflect convs, matmul bilinear resize in models/); this module remains a
 quarantined experiment.
+
+STATUS (round 3): the quarantined serving integration (serve.py, a hand-
+fused inference forward chaining these kernels) was DELETED: it carried
+~1.7e-2 RMSE numeric drift vs the flax forward, had no test coverage, and
+the XLA-fused eval path it was meant to beat stayed faster. What remains
+worth keeping from that experiment: (a) kernel A (norm->pw GEMM) is the
+only fusion that beat XLA (1.46x on its segment) -- if Mosaic gains bf16
+dynamic_rotate support, revisit kernel B and rebuild the serving chain
+directly against models/blocks.py's eval-folded parameters; (b) the drift
+came from the erf approximation + fp32 group-stat accumulation order, so
+any revival must reuse jax.lax.erf and match flax's reduction order before
+chasing speed.
 """
 
 from __future__ import annotations
