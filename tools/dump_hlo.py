@@ -1,0 +1,51 @@
+"""Dump the TPU-compiled HLO of the eval (or train) step at bench shape.
+
+Usage: python tools/dump_hlo.py [--train] [--batch N] [--out PATH]
+The compiled text includes per-op metadata (op_name= jax source paths), so
+xplane fusion IDs can be mapped back to model code.
+"""
+
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main(train: bool, batch_size: int, out_path: str):
+    from uncrtaints_tpu.config import Config, derive, input_dim
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import (
+        create_train_state, make_eval_step, make_train_step)
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0,
+                        batch_size=batch_size, lr=1e-3))
+    model = get_generator(cfg)
+    B, T, H, W = batch_size, cfg.input_t, 256, 256
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.random((B, T, H, W, input_dim(cfg)), dtype=np.float32)),
+        "y": jnp.asarray(rng.random((B, 1, H, W, 13), dtype=np.float32)),
+        "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    if train:
+        fn = make_train_step(cfg)
+        lowered = fn.lower(state, batch, jax.random.PRNGKey(1))
+    else:
+        fn = make_eval_step(cfg)
+        lowered = fn.lower(state, batch)
+    compiled = lowered.compile()
+    txt = compiled.as_text()
+    with open(out_path, "w") as f:
+        f.write(txt)
+    print(f"wrote {len(txt)} chars to {out_path}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--out", default="/tmp/eval_hlo.txt")
+    args = ap.parse_args()
+    main(args.train, args.batch or (4 if args.train else 16), args.out)

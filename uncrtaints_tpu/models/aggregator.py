@@ -54,9 +54,15 @@ class TemporalAggregator(nn.Module):
             if pad_mask is not None:
                 attn = attn * (~pad_mask)[:, :, None, None, None].astype(attn.dtype)
             heads = attn.shape[-1]
-            xg = x.reshape(B, T, H, W, heads, C // heads)
-            out = jnp.einsum("bthwn,bthwnc->bhwnc", attn, xg)
-            return out.reshape(B, H, W, C)
+            # head-major channel grouping (channel c belongs to head
+            # c // (C//heads), uncrtaints.py:188-198) expressed as an
+            # ELEMENTWISE broadcast instead of a head-split einsum: the
+            # [B,T,H,W,heads,C/heads] reshape splits the 128-lane channel
+            # dim, which forced two full-tensor relayout copies around the
+            # einsum on v5e (xplane: 3.9 ms/step at B=16 256px); repeat+
+            # multiply+sum stays in the native NHWC layout and fuses.
+            attn_c = jnp.repeat(attn, C // heads, axis=-1)    # [B,T,H,W,C]
+            return (attn_c * x).sum(axis=1)
         if self.mode == "att_mean":
             attn = attn_mask.mean(axis=-1, keepdims=True)      # over heads
             attn = _match_resolution(attn, (H, W))

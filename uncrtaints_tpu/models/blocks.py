@@ -120,6 +120,12 @@ class MBConv(nn.Module):
                 h = gelu(h)
                 h = Conv2d(hidden, kernel=3, stride=1, pad=1,
                            padding_mode="reflect", use_bias=False, groups=hidden)(h)
+                # NOTE (round-3 negative result): computing the SE mean on an
+                # optimization_barrier'd branch so gelu(norm(h)) is never
+                # materialized (pw2 recomputes it as a prologue) was measured
+                # 7% SLOWER end-to-end (178 vs 192 seq/s at B=8 256px) -- XLA
+                # keeps the materialization anyway and the barrier adds a
+                # full read pass. The straight-line form below fuses best.
                 h = Norm2d(self.norm, self.n_groups)(h, train=train)
                 h = gelu(h)
                 h = SE(self.inp, hidden)(h)

@@ -290,7 +290,14 @@ class Norm2d(nn.Module):
             mc = jnp.repeat(m, C // g, axis=-1)                       # [B, C]
             rc = jnp.repeat(jax.lax.rsqrt(v + 1e-5), C // g, axis=-1)  # [B, C]
             cc = rc * scale.astype(jnp.float32)
-            off = (bias.astype(jnp.float32) - mc * cc).astype(x.dtype)
+            off32 = bias.astype(jnp.float32) - mc * cc
+            if fold_only:
+                # per-sample-per-channel fp32 affine (cc, off) [B, C]; unlike
+                # the batch-norm fold this still COMPUTES the stats (GroupNorm
+                # normalizes per instance) -- it only skips the apply so
+                # callers can share one application between branches
+                return cc, off32
+            off = off32.astype(x.dtype)
             bshape = (B,) + (1,) * (x.ndim - 2) + (C,)
             return (x * cc.astype(x.dtype).reshape(bshape)
                     + off.reshape(bshape))
