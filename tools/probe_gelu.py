@@ -1,14 +1,17 @@
 """Microbench GELU variants at the encoder-pass shape [48,256,256,256] bf16.
 
-The eval-step xplane trace shows the GN-apply+GELU elementwise passes are
-VPU-bound (fusion.39 / convert_reduce_fusion.2: 6.2-6.3 ms vs a ~3.9 ms HBM
-roofline). Each variant below runs as y = variant(x * a + b) to mimic the
-real fused pass (affine prologue + gelu).
+Axon's remote-compile makes EVERY jit ~3-5 min, so all variants live in ONE
+jitted function (optimization_barrier between stages prevents CSE) and
+per-variant time comes from the xplane trace.
 
 Run: python tools/probe_gelu.py
 """
 
+import glob
+import os
+import tempfile
 import time
+from collections import defaultdict
 
 import numpy as np
 import jax
@@ -40,50 +43,65 @@ def gelu_poly16(x):
     return g.astype(x.dtype)
 
 
-def gelu_tanh(x):
-    return jax.nn.gelu(x, approximate=True)
+VARIANTS = [
+    ("passthrough", lambda x: (x.astype(jnp.float32) * 0.5).astype(x.dtype)),
+    ("current_rational_erf", gelu_current),
+    ("xla_exact_erf", lambda x: jax.nn.gelu(
+        x.astype(jnp.float32), approximate=False).astype(x.dtype)),
+    ("tanh_approx", lambda x: jax.nn.gelu(x, approximate=True)),
+    ("poly16_phi", gelu_poly16),
+]
 
 
-def gelu_exact_xla(x):
-    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
-
-
-def gelu_sigmoid_cheap(x):
-    # x * sigmoid(1.702 x): NOT parity-accurate; speed floor for 1-transcendental
-    x32 = x.astype(jnp.float32)
-    return (x32 * jax.nn.sigmoid(1.702 * x32)).astype(x.dtype)
-
-
-def passthrough(x):
-    return (x.astype(jnp.float32) * 0.5).astype(x.dtype)  # HBM roofline probe
-
-
-def bench(name, fn):
-    a = jnp.asarray(np.random.default_rng(0).random((SHAPE[-1],), np.float32))
-    b = jnp.asarray(np.random.default_rng(1).random((SHAPE[-1],), np.float32))
-    x = jnp.asarray(
-        np.random.default_rng(2).standard_normal(SHAPE, np.float32) * 2.0
-    ).astype(jnp.bfloat16)
+def main():
+    # generate ON DEVICE: host->device of a [48,256,256,256] tensor through
+    # the axon tunnel takes minutes and dwarfs everything else
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
+    a = jax.random.uniform(k0, (SHAPE[-1],), jnp.float32)
+    b = jax.random.uniform(k1, (SHAPE[-1],), jnp.float32)
+    x = (jax.random.normal(k2, SHAPE, jnp.float32) * 2.0).astype(jnp.bfloat16)
+    x.block_until_ready()
 
     @jax.jit
-    def f(x):
-        return fn(x * a.astype(x.dtype) + b.astype(x.dtype))
+    def all_variants(x):
+        outs = []
+        cur = x
+        for _, fn in VARIANTS:
+            cur = jax.lax.optimization_barrier(cur)
+            y = fn(cur * a.astype(cur.dtype) + b.astype(cur.dtype))
+            outs.append(jnp.sum(y.astype(jnp.float32)))
+            cur = jax.lax.optimization_barrier(y)
+        return jnp.stack(outs)
 
-    y = f(x); y.block_until_ready(); _ = float(y.reshape(-1)[0])
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = f(x)
-    _ = float(y.reshape(-1)[0])
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:24s} {dt*1e3:7.2f} ms")
-    return dt
+    t0 = time.time()
+    r = all_variants(x)
+    _ = np.asarray(r)
+    print(f"compile+1 in {time.time()-t0:.0f}s")
+
+    iters = 10
+    trace_dir = tempfile.mkdtemp(prefix="gelu_trace_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            r = all_variants(x)
+        _ = np.asarray(r)
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    p = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                  recursive=True)[0]
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(p, "rb").read())
+    pl_ = [q for q in xs.planes if q.name == "/device:TPU:0"][0]
+    meta = pl_.event_metadata
+    per = defaultdict(float)
+    line = [l for l in pl_.lines if l.name == "XLA Ops"][0]
+    tot = 0.0
+    for ev in line.events:
+        per[meta[ev.metadata_id].name] += ev.duration_ps * 1e-9
+        tot += ev.duration_ps * 1e-9
+    print(f"total {tot/iters:.2f} ms/step over {len(VARIANTS)} variants")
+    for n, d in sorted(per.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"  {d/iters:7.2f} ms  {n[:120]}")
 
 
 if __name__ == "__main__":
-    bench("passthrough(roofline)", passthrough)
-    bench("current rational-erf", gelu_current)
-    bench("xla exact erf fp32", gelu_exact_xla)
-    bench("tanh approx", gelu_tanh)
-    bench("sigmoid1.702", gelu_sigmoid_cheap)
-    bench("poly16 phi", gelu_poly16)
+    main()

@@ -173,23 +173,36 @@ def _pw_conv_bwd(res, g):
 _pw_conv.defvjp(_pw_conv_fwd, _pw_conv_bwd)
 
 
-def _fast_erf32(z):
-    """Abramowitz-Stegun 7.1.26 rational erf (fp32, |err| <= 1.5e-7)."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    az = jnp.abs(z)
-    t = 1.0 / (1.0 + p * az)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+# erf(z) = tanh(z * P(z^2)) coefficients, least-squares fit on [0, 4]
+# (max |tanh(q)-erf| = 3.2e-6). tanh's saturation gives free RELATIVE
+# accuracy in the tails, and tanh is a near-free VPU op on v5e: an xplane
+# microbench (tools/probe_gelu.py) measured a tanh-based gelu pass over
+# bf16[48,256,256,256] at 4.94 ms vs the 4.92 ms pure-copy roofline, while
+# the previous rational-erf form (exp + divide) took 12.2 ms.
+_ERF_TANH_C = (1.1283601727517558, 1.0292073947341389e-01,
+               -4.8009301101550308e-04, -4.2245969806380281e-04,
+               3.3183287259788524e-05)
+
+
+def _erf_tanh32(z):
+    """erf via tanh(odd polynomial), fp32. |err| <= 3.2e-6 on the fit range;
+    the clamp keeps z^8 finite for huge inputs (tanh saturates anyway)."""
+    zc = jnp.clip(z, -8.0, 8.0)
+    z2 = zc * zc
+    c = _ERF_TANH_C
+    p = c[4]
+    for ci in (c[3], c[2], c[1], c[0]):
+        p = p * z2 + ci
+    return jnp.tanh(zc * p)
 
 
 def _gelu_fast_erf(x):
-    """Exact-GELU via the rational erf approximation (one bf16 ulp on the
-    gelu output, measured 1.4-1.7x faster than XLA's native erf on v5e where
-    exact GELU is VPU-bound at ~260 GB/s effective)."""
+    """Exact-GELU via the tanh-form erf (same <=1-ulp bf16 accuracy class as
+    the previous rational-erf fast path: 0.26% vs 0.18% single-ulp flips
+    over all 65536 bf16 inputs, abs error <= 4.9e-4 only where the bf16 ulp
+    is larger)."""
     x32 = x.astype(jnp.float32)
-    erf = _fast_erf32(x32 * 0.7071067811865476)
+    erf = _erf_tanh32(x32 * 0.7071067811865476)
     return (x32 * 0.5 * (1.0 + erf)).astype(x.dtype)
 
 
@@ -216,7 +229,7 @@ def _gelu_vjp_fwd(x):
 
 def _gelu_vjp_bwd(x, g):
     x32 = x.astype(jnp.float32)
-    erf = (_fast_erf32(x32 * 0.7071067811865476) if x.dtype == jnp.bfloat16
+    erf = (_erf_tanh32(x32 * 0.7071067811865476) if x.dtype == jnp.bfloat16
            else jax.lax.erf(x32 * 0.7071067811865476))
     cdf = 0.5 * (1.0 + erf)
     pdf = 0.3989422804014327 * jnp.exp(-0.5 * x32 * x32)
