@@ -56,11 +56,14 @@ class TemporalAggregator(nn.Module):
             heads = attn.shape[-1]
             # head-major channel grouping (channel c belongs to head
             # c // (C//heads), uncrtaints.py:188-198) expressed as an
-            # ELEMENTWISE broadcast instead of a head-split einsum: the
-            # [B,T,H,W,heads,C/heads] reshape splits the 128-lane channel
-            # dim, which forced two full-tensor relayout copies around the
-            # einsum on v5e (xplane: 3.9 ms/step at B=16 256px); repeat+
-            # multiply+sum stays in the native NHWC layout and fuses.
+            # elementwise broadcast instead of an explicit head-split einsum
+            # (the [B,T,H,W,heads,C/heads] reshape of a 6-D einsum cost 168 s
+            # of XLA compile time on its own). Round-3 measurements at B=8
+            # 256px: this repeat form 232 seq/s end-to-end; a 0/1
+            # block-indicator MXU matmul that materializes the expanded
+            # attention 221 seq/s (the extra 200 MB write+read loses to the
+            # relayout it avoids). XLA re-derives the split structure from
+            # the broadcast internally -- still the fastest variant.
             attn_c = jnp.repeat(attn, C // heads, axis=-1)    # [B,T,H,W,C]
             return (attn_c * x).sum(axis=1)
         if self.mode == "att_mean":
