@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from uncrtaints_tpu.ops.pallas_aggregate import att_group_aggregate
 from uncrtaints_tpu.ops.resize import upsample_bilinear, avg_pool2d
 
 
@@ -54,6 +55,14 @@ class TemporalAggregator(nn.Module):
             if pad_mask is not None:
                 attn = attn * (~pad_mask)[:, :, None, None, None].astype(attn.dtype)
             heads = attn.shape[-1]
+            if not train and C % heads == 0 and jax.default_backend() == "tpu":
+                # fused Pallas kernel: head-expansion happens ON-CHIP via a
+                # 0/1 indicator matmul, never splitting the 128-lane channel
+                # dim and never materializing the expanded attention to HBM
+                # (see ops/pallas_aggregate.py for the measured XLA failure
+                # modes this sidesteps). Eval-only: the backward would need a
+                # custom VJP, and the train-step profile is conv-dominated.
+                return att_group_aggregate(x, attn)
             # head-major channel grouping (channel c belongs to head
             # c // (C//heads), uncrtaints.py:188-198) expressed as an
             # elementwise broadcast instead of an explicit head-split einsum
@@ -62,8 +71,7 @@ class TemporalAggregator(nn.Module):
             # 256px: this repeat form 232 seq/s end-to-end; a 0/1
             # block-indicator MXU matmul that materializes the expanded
             # attention 221 seq/s (the extra 200 MB write+read loses to the
-            # relayout it avoids). XLA re-derives the split structure from
-            # the broadcast internally -- still the fastest variant.
+            # relayout it avoids).
             attn_c = jnp.repeat(attn, C // heads, axis=-1)    # [B,T,H,W,C]
             return (attn_c * x).sum(axis=1)
         if self.mode == "att_mean":
