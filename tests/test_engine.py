@@ -138,6 +138,38 @@ def test_dryrun_multichip_poisoned_env_spawns_child(monkeypatch):
     assert "axon" not in env.get("PYTHONPATH", "")
 
 
+def test_dryrun_multichip_cold_process_never_probes_devices(monkeypatch):
+    """Round-3 driver regression: in a COLD process (no jax backend
+    initialized yet), probing jax.devices() initializes one -- and with the
+    axon PJRT plugin force-registered, initialization dials the TPU tunnel,
+    which blocks forever when the tunnel is down. The inline gate must not
+    touch jax.devices() unless a backend is already live; a cold process
+    goes straight to the sanitized child."""
+    import sys, pathlib, types
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+    from jax._src import xla_bridge
+
+    monkeypatch.delenv(ge._CHILD_MARKER, raising=False)
+    monkeypatch.setattr(xla_bridge, "backends_are_initialized", lambda: False)
+
+    def hang(*a):  # a real dead tunnel would block, not raise
+        raise AssertionError("jax.devices() must not be probed cold")
+
+    monkeypatch.setattr(ge.jax, "devices", hang)
+    assert not ge._inline_ok(8)
+
+    calls = {}
+
+    def fake_run(cmd, **kw):
+        calls["env"] = kw["env"]
+        return types.SimpleNamespace(returncode=0, stdout="child ok\n")
+
+    monkeypatch.setattr(ge.subprocess, "run", fake_run)
+    ge.dryrun_multichip(8)
+    assert calls["env"][ge._CHILD_MARKER] == "1"
+
+
 def test_dryrun_multichip_child_marker_checks_reality(monkeypatch):
     """If the sanitized child STILL comes up on a non-CPU backend (e.g. a
     renamed sitecustomize trigger), it must fail with a diagnostic rather
