@@ -86,3 +86,44 @@ def test_aggregator_eval_dispatches_to_kernel(rng, monkeypatch):
     agg.apply(av, x, attn_mask=a, train=True,
               rngs={"dropout": jax.random.PRNGKey(1)})
     assert not calls
+
+
+def test_att_group_aggregate_grad_parity(rng):
+    """Custom VJP (fused backward kernel) vs jax.grad of the reference
+    lane-layout form -- both fp32, must agree to float tolerance."""
+    B, T, H, W, C, heads = 2, 3, 8, 8, 64, 8
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    a = jnp.asarray(rng.random((B, T, H, W, heads)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+
+    def loss_kernel(x_, a_):
+        return (att_group_aggregate(x_, a_, None, True) * g).sum()
+
+    def loss_ref(x_, a_):
+        return (_reference(x_, a_) * g).sum()
+
+    dx_k, da_k = jax.grad(loss_kernel, argnums=(0, 1))(x, a)
+    dx_r, da_r = jax.grad(loss_ref, argnums=(0, 1))(x, a)
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(da_k), np.asarray(da_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_att_group_aggregate_grad_multi_tile(rng):
+    B, T, H, W, C, heads = 1, 2, 16, 16, 32, 4
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    a = jnp.asarray(rng.random((B, T, H, W, heads)).astype(np.float32))
+
+    def loss_kernel(x_, a_):
+        return att_group_aggregate(x_, a_, 64, True).sum()
+
+    def loss_ref(x_, a_):
+        return _reference(x_, a_).sum()
+
+    dx_k, da_k = jax.grad(loss_kernel, argnums=(0, 1))(x, a)
+    dx_r, da_r = jax.grad(loss_ref, argnums=(0, 1))(x, a)
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(da_k), np.asarray(da_r),
+                               rtol=1e-5, atol=1e-5)

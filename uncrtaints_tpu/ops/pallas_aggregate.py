@@ -28,6 +28,7 @@ tests/test_pallas_aggregate.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -82,15 +83,8 @@ def _pick_tile(rows: int, cap: int = 2048) -> int:
     return rows
 
 
-def att_group_aggregate(x: jax.Array, attn: jax.Array,
-                        tile: Optional[int] = None,
-                        interpret: Optional[bool] = None) -> jax.Array:
-    """Fused head-grouped attention aggregation over time.
-
-    x: [B, T, H, W, C] features; attn: [B, T, H, W, heads] attention at
-    feature resolution, already pad-masked / dropout-scaled. C % heads == 0.
-    Returns [B, H, W, C] = sum_t expand_heads(attn[:, t]) * x[:, t].
-    """
+def _fwd_call(x: jax.Array, attn: jax.Array, tile: Optional[int],
+              interpret: Optional[bool]) -> jax.Array:
     B, T, H, W, C = x.shape
     heads = attn.shape[-1]
     assert C % heads == 0, (C, heads)
@@ -127,3 +121,102 @@ def att_group_aggregate(x: jax.Array, attn: jax.Array,
         scratch_shapes=[pltpu.VMEM((tile, C), jnp.float32)],
     )(ar, xr)
     return out.reshape(B, H, W, C)
+
+
+# --------------------------------------------------------------------- #
+# Backward kernel: one pass over (b, r, t) producing BOTH gradients.
+#   dx[b,t,r,c]    = expand(attn[b,t,r])[c] * g[b,r,c]
+#   dattn[b,t,r,h] = sum_{c in head h} x[b,t,r,c] * g[b,r,c]
+# The head contraction is sel^T on the MXU -- the transpose of the
+# forward's expansion, so neither direction ever splits the lane dim.
+# --------------------------------------------------------------------- #
+
+def _mk_bwd_kernel(T: int, heads: int, C: int):
+    cg = C // heads
+
+    def kernel(a_ref, x_ref, g_ref, dx_ref, da_ref):
+        a32 = a_ref[0].astype(jnp.float32)               # [tile, heads]
+        g32 = g_ref[0].astype(jnp.float32)               # [tile, C]
+        col_h = jax.lax.broadcasted_iota(jnp.int32, (heads, C), 1) // cg
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (heads, C), 0)
+        sel = (col_h == row_h).astype(jnp.float32)       # [heads, C]
+        ex = jnp.dot(a32, sel, preferred_element_type=jnp.float32)
+        dx_ref[0] = (ex * g32).astype(dx_ref.dtype)
+        xg = x_ref[0].astype(jnp.float32) * g32          # [tile, C]
+        da_ref[0] = jnp.dot(xg, sel.T,
+                            preferred_element_type=jnp.float32
+                            ).astype(da_ref.dtype)       # [tile, heads]
+
+    return kernel
+
+
+def _bwd_call(x, attn, g, tile: Optional[int], interpret: Optional[bool]):
+    B, T, H, W, C = x.shape
+    heads = attn.shape[-1]
+    rows = H * W
+    xr = x.reshape(B * T, rows, C)
+    ar = attn.reshape(B * T, rows, heads)
+    gr = g.reshape(B, rows, C)
+    if tile is None:
+        tile = _pick_tile(rows)
+    nt = rows // tile
+    if interpret is None:
+        interpret = _interpret_default()
+
+    dx, da = pl.pallas_call(
+        _mk_bwd_kernel(T, heads, C),
+        grid=(B, nt, T),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((1, tile, heads), lambda b, r, t: (b * T + t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda b, r, t: (b * T + t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda b, r, t: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, C), lambda b, r, t: (b * T + t, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, heads), lambda b, r, t: (b * T + t, r, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * T, rows, C), x.dtype),
+            jax.ShapeDtypeStruct((B * T, rows, heads), attn.dtype),
+        ),
+    )(ar, xr, gr)
+    return (dx.reshape(B, T, H, W, C), da.reshape(B, T, H, W, heads))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def att_group_aggregate(x: jax.Array, attn: jax.Array,
+                        tile: Optional[int] = None,
+                        interpret: Optional[bool] = None) -> jax.Array:
+    """Fused head-grouped attention aggregation over time.
+
+    x: [B, T, H, W, C] features; attn: [B, T, H, W, heads] attention at
+    feature resolution, already pad-masked / dropout-scaled. C % heads == 0.
+    Returns [B, H, W, C] = sum_t expand_heads(attn[:, t]) * x[:, t].
+
+    Differentiable: custom VJP runs a single fused backward kernel emitting
+    both dx and dattn (the head contraction is the transpose indicator
+    matmul, so the backward also never relayouts the lane dim).
+    """
+    return _fwd_call(x, attn, tile, interpret)
+
+
+def _vjp_fwd(x, attn, tile, interpret):
+    # (fwd receives args in the original order; bwd gets nondiff args first)
+    return _fwd_call(x, attn, tile, interpret), (x, attn)
+
+
+def _vjp_bwd(tile, interpret, res, g):
+    x, attn = res
+    return _bwd_call(x, attn, g, tile, interpret)
+
+
+att_group_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
