@@ -10,8 +10,14 @@ the jitted train step's gradient mean compiles to a single ``psum`` over ICI
 between slices (per-host data feeding handled by the input pipeline's
 ``shard`` option).
 
-Rationale for no TP/PP/SP: see SURVEY.md section 2 -- at this model scale the
-only profitable parallel axis is batch x H x W, which data sharding covers.
+Rationale for no TP/PP: see SURVEY.md section 2 -- at this model scale the
+only profitable parallel axes are batch and H x W. Batch is covered by the
+1-D ``data`` mesh; for inputs too large for one chip's HBM at batch
+granularity (full Sentinel-2 scenes are 10980^2 vs the training crops'
+256^2), :func:`make_mesh_2d` adds a ``spatial`` axis that shards the image
+H dimension -- GSPMD inserts the conv halo exchanges and the norm/attention
+reductions over ICI automatically (the TPU-idiomatic form of spatial
+partitioning; no hand-written halo code).
 """
 
 from __future__ import annotations
@@ -73,6 +79,32 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
         devices = devices[:n_devices]
     return Mesh(mesh_utils.create_device_mesh(
         (len(devices),), devices=devices), axis_names=("data",))
+
+
+def make_mesh_2d(n_data: int, n_spatial: int, devices=None) -> Mesh:
+    """2-D ``data x spatial`` mesh: batch over ``data``, image rows over
+    ``spatial``. Raises on device shortfall like :func:`make_mesh`."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_spatial
+    if len(devices) < need:
+        raise RuntimeError(
+            f"make_mesh_2d: requested {n_data}x{n_spatial}={need} devices "
+            f"but only {len(devices)} available "
+            f"({[d.platform for d in devices]})")
+    return Mesh(mesh_utils.create_device_mesh(
+        (n_data, n_spatial), devices=devices[:need]),
+        axis_names=("data", "spatial"))
+
+
+def spatial_sharding(mesh: Mesh, ndim: int, h_axis: int = 2) -> NamedSharding:
+    """Batch on ``data``, image-row axis ``h_axis`` on ``spatial``; all other
+    axes replicated. For the standard [B, T, H, W, C] inputs h_axis=2; for
+    [B, 1, H, W, C] targets likewise."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    spec[h_axis] = "spatial"
+    return NamedSharding(mesh, P(*spec))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
