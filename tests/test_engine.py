@@ -234,3 +234,37 @@ def test_legacy_conv_path_checkpoint_migrates(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(state2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rbg_dropout_prng_trains():
+    """--prng_impl rbg: the TPU-native generator must drive the train step
+    (typed keys survive fold_in and flax Dropout) and keep determinism --
+    same key, same masks."""
+    from uncrtaints_tpu.config import Config, derive, input_dim
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state, make_train_step, dropout_rng
+    import numpy as np
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=2, lr=1e-3,
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32, prng_impl="rbg"))
+    model = get_generator(cfg)
+    rng = np.random.default_rng(0)
+    B, T, H, W = 2, cfg.input_t, 16, 16
+    batch = {
+        "x": jnp.asarray(rng.random((B, T, H, W, input_dim(cfg)),
+                                    dtype=np.float32)),
+        "y": jnp.asarray(rng.random((B, 1, H, W, 13), dtype=np.float32)),
+        "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg)
+    key = jax.random.fold_in(dropout_rng(cfg, cfg.rdm_seed), 0)
+    assert jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+    s1, aux1 = step(state, batch, key)
+    assert np.isfinite(float(aux1["loss"]))
+    # determinism: same key -> identical step output
+    state2 = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    _, aux2 = make_train_step(cfg)(state2, batch, key)
+    np.testing.assert_array_equal(np.asarray(aux1["pred"]),
+                                  np.asarray(aux2["pred"]))

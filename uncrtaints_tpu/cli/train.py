@@ -33,7 +33,7 @@ from uncrtaints_tpu.models import get_generator
 from uncrtaints_tpu.parallel import make_mesh, shard_batch
 from uncrtaints_tpu.train.engine import (
     create_train_state, make_train_step, make_eval_step,
-    set_learning_rate, epoch_lr,
+    set_learning_rate, epoch_lr, dropout_rng,
 )
 from uncrtaints_tpu.train.checkpoint import (
     save_checkpoint, load_checkpoint, load_pretrained_partial, unfreeze_all,
@@ -183,7 +183,7 @@ def main(cfg: Config) -> dict:
 
     train_step = make_train_step(cfg)
     eval_step = make_eval_step(cfg)
-    base_rng = jax.random.PRNGKey(cfg.rdm_seed)
+    base_rng = dropout_rng(cfg, cfg.rdm_seed)
 
     trainlog, best_loss = {}, float("inf")
     begin_at = cfg.resume_at if cfg.resume_at >= 0 else 0

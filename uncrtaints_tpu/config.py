@@ -146,6 +146,10 @@ class Config:
                                          # the on-device threshold detector
     synthetic_data: bool = False         # use the synthetic data source (tests/bench)
     remat: bool = False                  # rematerialize conv blocks (memory<->FLOPs)
+    prng_impl: str = "threefry2x32"      # dropout-noise PRNG: threefry2x32|rbg
+                                         # (rbg is the TPU-native fast
+                                         # generator; dropout statistics only,
+                                         # model init stays threefry)
     debug_nans: bool = False             # jax_debug_nans for fault isolation
     trace_dir: str = ""                  # jax.profiler trace output directory
     fused_eval: str = "auto"             # Pallas-fused eval MBConv: auto|on|off
@@ -292,6 +296,9 @@ def create_parser(mode: str = "train") -> argparse.ArgumentParser:
                    choices=["auto", "on", "off"],
                    help="Pallas-fused eval MBConv path (experimental; "
                         "auto currently resolves to off)")
+    p.add_argument("--prng_impl", default=d.prng_impl, type=str,
+                   choices=["threefry2x32", "rbg"],
+                   help="PRNG for dropout noise (rbg = fast TPU generator)")
     p.add_argument("--debug_nans", dest="debug_nans", action="store_true")
     p.add_argument("--trace_dir", default="", type=str,
                    help="write a jax.profiler trace of the first train steps")

@@ -49,6 +49,15 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
 
+def dropout_rng(cfg: Config, seed: int) -> jax.Array:
+    """Base key for dropout noise. ``cfg.prng_impl='rbg'`` selects the
+    TPU-native counter-based generator -- much cheaper per-step mask
+    generation than threefry for the [B,T,256,256,heads] attention-dropout
+    masks; the impl travels with the (typed) key, so fold_in/split keep it.
+    Model INIT always stays threefry (weight-init golden tests pin it)."""
+    return jax.random.key(seed, impl=cfg.prng_impl)
+
+
 def make_optimizer(lr: float) -> optax.GradientTransformation:
     """Adam with torch-default hyperparameters; lr injectable per epoch."""
     return optax.inject_hyperparams(optax.adam)(

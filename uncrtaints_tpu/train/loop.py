@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from uncrtaints_tpu.config import Config
+from uncrtaints_tpu.train.engine import dropout_rng
 from uncrtaints_tpu.metrics import (
     img_metrics_batch, AvgImgMetrics, compute_ece, compute_uce_auce,
 )
@@ -159,7 +160,7 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
     if len(loader) == 0:
         raise ValueError("Received data loader with zero samples!")
     if base_rng is None:
-        base_rng = jax.random.PRNGKey(cfg.rdm_seed)
+        base_rng = dropout_rng(cfg, cfg.rdm_seed)
 
     img_meter = AvgImgMetrics()
     losses = []
