@@ -1,0 +1,105 @@
+"""Whole-scene tiled inference (infer.predict_scene)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uncrtaints_tpu.config import Config, derive, input_dim
+from uncrtaints_tpu.infer import predict_scene, _axis_ramp, _window_origins
+from uncrtaints_tpu.models import get_generator
+from uncrtaints_tpu.train import create_train_state
+
+
+def _tiny_state(T=3, H=32, W=32):
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=2, lr=1e-3,
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.random((2, T, H, W, input_dim(cfg)),
+                                    dtype=np.float32)),
+        "y": jnp.asarray(rng.random((2, 1, H, W, 13), dtype=np.float32)),
+        "dates": jnp.asarray(rng.integers(0, 1500, (2, T))
+                             .astype(np.float32)),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    return cfg, state
+
+
+def test_axis_ramp_crossfade_sums_to_one():
+    tile, overlap = 32, 8
+    w = _axis_ramp(tile, overlap, n_windows=3)
+    stride = tile - overlap
+    # two adjacent windows: A's tail + B's head over the shared zone
+    total = w[stride:] + w[:overlap]
+    np.testing.assert_allclose(total, 1.0, rtol=1e-6)
+    assert (w > 0).all()
+    np.testing.assert_array_equal(_axis_ramp(32, 8, n_windows=1), 1.0)
+
+
+def test_window_origins_cover_and_clamp():
+    assert _window_origins(96, 32, 24) == [0, 24, 48, 64]  # last clamped
+    assert _window_origins(32, 32, 24) == [0]
+    starts = _window_origins(100, 32, 24)
+    assert starts[-1] == 68 and max(s + 32 for s in starts) == 100
+
+
+def test_single_window_equals_direct_forward():
+    """Scene exactly one tile: predict_scene must equal the raw jitted
+    forward with the scale_by protocol applied."""
+    cfg, state = _tiny_state()
+    rng = np.random.default_rng(1)
+    T, H, W = cfg.input_t, 32, 32
+    scene = jnp.asarray(rng.random((T, H, W, input_dim(cfg)),
+                                   dtype=np.float32))
+    dates = jnp.asarray(rng.integers(0, 1500, (T,)).astype(np.float32))
+
+    out = predict_scene(state, cfg, scene, dates, tile=32, overlap=8,
+                        batch_size=2)
+    s = cfg.scale_by
+    direct = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        s * scene[None], batch_positions=dates[None], train=False)
+    direct = np.asarray(direct, np.float32)
+    np.testing.assert_allclose(out["pred"][0], direct[0, 0, ..., :13] / s,
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(out["var"][0], direct[0, 0, ..., 13:26] / s**2,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_large_scene_tiled_blend():
+    """Multi-window scene incl. clamped last windows and a padded final
+    batch: output finite, right shape, values in the plausible range."""
+    cfg, state = _tiny_state()
+    rng = np.random.default_rng(2)
+    T, H, W = cfg.input_t, 80, 96
+    scene = jnp.asarray(rng.random((T, H, W, input_dim(cfg)),
+                                   dtype=np.float32))
+    dates = jnp.asarray(rng.integers(0, 1500, (T,)).astype(np.float32))
+    out = predict_scene(state, cfg, scene, dates, tile=32, overlap=8,
+                        batch_size=3)
+    assert out["pred"].shape == (1, H, W, 13)
+    assert out["var"].shape == (1, H, W, 13)
+    assert np.isfinite(out["pred"]).all() and np.isfinite(out["var"]).all()
+    assert (out["var"] > 0).all()
+
+
+def test_scene_narrower_than_tile_pads_and_crops():
+    cfg, state = _tiny_state()
+    rng = np.random.default_rng(3)
+    T = cfg.input_t
+    scene = jnp.asarray(rng.random((T, 20, 48, input_dim(cfg)),
+                                   dtype=np.float32))
+    out = predict_scene(state, cfg, scene, None, tile=32, overlap=8,
+                        batch_size=2)
+    assert out["pred"].shape == (1, 20, 48, 13)
+    assert np.isfinite(out["pred"]).all()
+
+
+def test_odd_tile_rejected():
+    cfg, state = _tiny_state()
+    scene = jnp.zeros((3, 40, 40, input_dim(cfg)))
+    with pytest.raises(ValueError, match="even"):
+        predict_scene(state, cfg, scene, None, tile=31)
