@@ -1,0 +1,115 @@
+"""Round-3 A/B sweep (run on the real TPU when the tunnel is up).
+
+Measures, in one process sequence (each config in a FRESH child process so
+device-buffer state can't leak between configs through the axon tunnel):
+
+  eval  B in {8, 12, 16}            -- with the fused aggregation kernel
+  train B in {4, 8} x {remat, no}   -- baseline
+  train B=4/8 + --prng_impl rbg     -- dropout-noise generator A/B
+  train + train-path pallas aggregator (env UNCR_AGG_TRAIN=1)
+
+Usage:  python tools/r3_sweep.py [--quick]
+Writes one JSON line per config to stdout and /tmp/r3_sweep.jsonl.
+"""
+
+import itertools
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+import numpy as np, jax, jax.numpy as jnp
+mode, B, remat, prng, agg_train, iters = sys.argv[1:7]
+B, iters = int(B), int(iters)
+# agg_train is communicated via UNCR_AGG_TRAIN in the env (set by the
+# parent), read by models/aggregator.py at trace time
+from uncrtaints_tpu.config import Config, derive, input_dim
+from uncrtaints_tpu.models import get_generator
+from uncrtaints_tpu.train import create_train_state, make_train_step, make_eval_step, dropout_rng
+
+cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=B, lr=1e-3,
+                    remat=(remat == "1"), prng_impl=prng))
+model = get_generator(cfg)
+T, H, W = cfg.input_t, 256, 256
+rng = np.random.default_rng(0)
+batch = {
+    "x": jnp.asarray(rng.random((B, T, H, W, input_dim(cfg)), dtype=np.float32)),
+    "y": jnp.asarray(rng.random((B, 1, H, W, 13), dtype=np.float32)),
+    "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
+}
+state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+if mode == "train":
+    step = make_train_step(cfg)
+    key = jax.random.fold_in(dropout_rng(cfg, 1), 0)
+    run = lambda st: step(st, batch, key)
+else:
+    ev = make_eval_step(cfg)
+    run = lambda st: (st, ev(st, batch))
+for _ in range(3):
+    state, aux = run(state)
+    _ = float(aux["loss"])
+t0 = time.perf_counter()
+for _ in range(iters):
+    state, aux = run(state)
+_ = float(aux["loss"])
+dt = time.perf_counter() - t0
+print(json.dumps({"mode": mode, "B": B, "remat": remat == "1",
+                  "prng": prng, "agg_train": agg_train == "1",
+                  "seq_per_sec": round(iters * B / dt, 2),
+                  "ms_per_step": round(1000 * dt / iters, 2)}))
+"""
+
+
+def run_cfg(mode, B, remat=False, prng="threefry2x32", agg_train=False,
+            iters=20, timeout=900):
+    env = dict(os.environ)
+    if agg_train:
+        env["UNCR_AGG_TRAIN"] = "1"
+    cmd = [sys.executable, "-c", CHILD, mode, str(B),
+           "1" if remat else "0", prng, "1" if agg_train else "0", str(iters)]
+    try:
+        p = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                           text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"mode": mode, "B": B, "remat": remat, "prng": prng,
+                "agg_train": agg_train, "error": "timeout"}
+    line = (p.stdout.strip().splitlines() or [""])[-1]
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return {"mode": mode, "B": B, "remat": remat, "prng": prng,
+                "agg_train": agg_train, "error": p.stderr[-500:]}
+
+
+def main():
+    quick = "--quick" in sys.argv
+    configs = [
+        ("eval", dict(B=8)),
+        ("eval", dict(B=16)),
+    ] + ([] if quick else [("eval", dict(B=12))]) + [
+        ("train", dict(B=4)),
+        ("train", dict(B=8, remat=True)),
+    ] + ([] if quick else [
+        ("train", dict(B=4, remat=True)),
+        ("train", dict(B=8)),
+        ("train", dict(B=4, prng="rbg")),
+        ("train", dict(B=8, remat=True, prng="rbg")),
+        ("train", dict(B=4, agg_train=True)),
+        ("train", dict(B=8, remat=True, agg_train=True)),
+    ])
+    out_path = "/tmp/r3_sweep.jsonl"
+    with open(out_path, "a") as f:
+        for mode, kw in configs:
+            res = run_cfg(mode, **kw)
+            line = json.dumps(res)
+            print(line, flush=True)
+            f.write(line + "\n")
+    print(f"# appended to {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,7 @@ Attention layout: [B, T, H', W', n_head]; features: [B, T, H, W, C].
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -55,13 +56,18 @@ class TemporalAggregator(nn.Module):
             if pad_mask is not None:
                 attn = attn * (~pad_mask)[:, :, None, None, None].astype(attn.dtype)
             heads = attn.shape[-1]
-            if not train and C % heads == 0 and jax.default_backend() == "tpu":
+            use_kernel = (C % heads == 0
+                          and jax.default_backend() == "tpu"
+                          and (not train
+                               or os.environ.get("UNCR_AGG_TRAIN") == "1"))
+            if use_kernel:
                 # fused Pallas kernel: head-expansion happens ON-CHIP via a
                 # 0/1 indicator matmul, never splitting the 128-lane channel
                 # dim and never materializing the expanded attention to HBM
                 # (see ops/pallas_aggregate.py for the measured XLA failure
-                # modes this sidesteps). Eval-only: the backward would need a
-                # custom VJP, and the train-step profile is conv-dominated.
+                # modes this sidesteps). Train-path dispatch (custom-VJP
+                # fused backward) is gated behind UNCR_AGG_TRAIN=1 until the
+                # on-chip A/B (tools/r3_sweep.py) proves it out.
                 return att_group_aggregate(x, attn)
             # head-major channel grouping (channel c belongs to head
             # c // (C//heads), uncrtaints.py:188-198) expressed as an
