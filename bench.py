@@ -197,6 +197,32 @@ def main_e2e(batch_size: int = 16, n_patches: int = 64, epochs: int = 4,
     }))
 
 
+def _wait_for_device(max_wait: float = 600.0) -> bool:
+    """The axon TPU tunnel can be transiently down, in which case ANY
+    jax.devices() call blocks indefinitely (observed round 3: >1 h outage).
+    Probe in short-lived child processes until the backend answers, so the
+    bench either runs or fails fast with a diagnostic -- never hangs the
+    driver."""
+    import subprocess
+    deadline = time.time() + max_wait
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=90, capture_output=True)
+            if p.returncode == 0:
+                return True
+            sys.stderr.write(f"device probe {attempt}: rc={p.returncode} "
+                             f"{p.stderr.decode()[-200:]}\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"device probe {attempt}: timed out "
+                             f"(tunnel down?)\n")
+        time.sleep(15)
+    return False
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true",
@@ -206,6 +232,10 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=None,
                     help="override the default batch size")
     args = ap.parse_args()
+    if not _wait_for_device():
+        sys.stderr.write("bench: no jax backend became available within the "
+                         "wait budget; aborting instead of hanging\n")
+        sys.exit(3)
     if args.e2e:
         main_e2e()
         sys.exit(0)
