@@ -67,27 +67,49 @@ def parse(trace_dir: str, iters: int, top: int = 40):
     with open(paths[0], "rb") as f:
         xspace.ParseFromString(f.read())
 
+    def is_async_copy(name: str) -> bool:
+        # copy-start/copy-done events span their whole in-flight window and
+        # overlap compute; summing them mis-ranks prefetches as top costs
+        # (burned us in the round-3 train profile: weight prefetches looked
+        # like 8.6 ms ops on a 30 ms step)
+        n = name.lstrip("%")
+        return n.startswith(("copy-start", "copy-done", "send", "recv",
+                             "collective-permute-start",
+                             "all-gather-start", "all-reduce-start"))
+
     for plane in xspace.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
         ev_meta = plane.event_metadata
         per_op = defaultdict(float)
         per_op_n = defaultdict(int)
+        copy_total = 0.0
         total = 0.0
+        module_ms = None
         for line in plane.lines:
             lname = line.name.lower()
+            if "xla modules" in lname and line.events:
+                module_ms = sum(ev.duration_ps for ev in line.events) * 1e-9
             # XLA op lines carry the per-fusion breakdown; step lines duplicate
             if "xla op" in lname or "xla ops" in lname:
                 for ev in line.events:
                     name = ev_meta[ev.metadata_id].name
                     dur = ev.duration_ps * 1e-9  # ms
+                    if is_async_copy(name):
+                        copy_total += dur
+                        continue
                     per_op[name] += dur
                     per_op_n[name] += 1
                     total += dur
         if not per_op:
             continue
-        print(f"\n== plane: {plane.name} | total XLA-op time "
-              f"{total:.1f} ms over {iters} steps = {total/iters:.2f} ms/step ==")
+        hdr = (f"\n== plane: {plane.name} | compute-op time "
+               f"{total:.1f} ms / {iters} steps = {total/iters:.2f} ms/step"
+               f" | async-copy span {copy_total/iters:.2f} ms/step"
+               " (overlapped, excluded)")
+        if module_ms is not None:
+            hdr += f" | module wall {module_ms/iters:.2f} ms/step"
+        print(hdr + " ==")
         ranked = sorted(per_op.items(), key=lambda kv: -kv[1])
         for name, ms in ranked[:top]:
             print(f"{ms/iters:9.3f} ms/step  x{per_op_n[name]//iters:<3d} "
