@@ -103,3 +103,24 @@ def test_odd_tile_rejected():
     scene = jnp.zeros((3, 40, 40, input_dim(cfg)))
     with pytest.raises(ValueError, match="even"):
         predict_scene(state, cfg, scene, None, tile=31)
+
+
+def test_predict_scene_with_data_mesh():
+    """Distributed serving: windows batch-sharded over the 8-device mesh via
+    device_put_fn; result must match the unsharded run exactly (same math)."""
+    from uncrtaints_tpu.parallel import make_mesh, batch_sharding, replicated_sharding
+
+    cfg, state = _tiny_state()
+    rng = np.random.default_rng(4)
+    T = cfg.input_t
+    scene = jnp.asarray(rng.random((T, 64, 64, input_dim(cfg)),
+                                   dtype=np.float32))
+    ref = predict_scene(state, cfg, scene, None, tile=32, overlap=8,
+                        batch_size=8)
+
+    mesh = make_mesh(8)
+    state_s = jax.device_put(state, replicated_sharding(mesh))
+    sh = batch_sharding(mesh)
+    out = predict_scene(state_s, cfg, scene, None, tile=32, overlap=8,
+                        batch_size=8, device_put_fn=lambda x: jax.device_put(x, sh))
+    np.testing.assert_allclose(out["pred"], ref["pred"], rtol=2e-4, atol=2e-4)
