@@ -64,7 +64,7 @@ def main():
         state = state.replace(params=variables["params"],
                               batch_stats=variables.get("batch_stats",
                                                         state.batch_stats))
-        print(f"imported checkpoint: {matched} tensors matched, "
+        print(f"imported checkpoint: {len(matched)} tensors matched, "
               f"{len(missing)} missing")
 
     t0 = time.time()

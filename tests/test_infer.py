@@ -59,14 +59,24 @@ def test_single_window_equals_direct_forward():
     out = predict_scene(state, cfg, scene, dates, tile=32, overlap=8,
                         batch_size=2)
     s = cfg.scale_by
-    direct = state.apply_fn(
-        {"params": state.params, "batch_stats": state.batch_stats},
-        s * scene[None], batch_positions=dates[None], train=False)
-    direct = np.asarray(direct, np.float32)
+    # same mixed-precision cast as the benchmarked eval step (predict_scene
+    # routes through engine._cast_for_forward)
+    from uncrtaints_tpu.train.engine import _cast_for_forward
+
+    @jax.jit
+    def direct_fwd(params, bs, x, d):
+        fwd_params, xc = _cast_for_forward(cfg, params, s * x)
+        return state.apply_fn({"params": fwd_params, "batch_stats": bs},
+                              xc, batch_positions=d, train=False)
+
+    direct = np.asarray(direct_fwd(state.params, state.batch_stats,
+                                   scene[None], dates[None]), np.float32)
+    # both paths are the bf16 eval forward; jit fusion layouts may still
+    # differ by a few bf16 ulps
     np.testing.assert_allclose(out["pred"][0], direct[0, 0, ..., :13] / s,
-                               rtol=2e-3, atol=2e-3)
+                               rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(out["var"][0], direct[0, 0, ..., 13:26] / s**2,
-                               rtol=2e-3, atol=2e-3)
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_large_scene_tiled_blend():

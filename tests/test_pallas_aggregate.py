@@ -76,15 +76,33 @@ def test_aggregator_eval_dispatches_to_kernel(rng, monkeypatch):
 
     monkeypatch.setattr(agg_mod, "att_group_aggregate", spy)
     monkeypatch.setattr(agg_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(agg_mod.jax, "device_count", lambda: 1)
     fused = agg.apply(av, x, attn_mask=a)
     assert calls, "eval path did not dispatch to the fused kernel"
     np.testing.assert_allclose(np.asarray(fused), np.asarray(baseline),
                                rtol=1e-5, atol=1e-6)
 
-    # train path must NOT use the kernel (no VJP defined)
+    # train path must NOT use the kernel by default (A/B pending)
     calls.clear()
     agg.apply(av, x, attn_mask=a, train=True,
               rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not calls
+
+    # multi-device process: no GSPMD rule for pallas_call -> repeat form,
+    # unless UNCR_AGG_KERNEL=1 forces it (shard_map'd callers)
+    calls.clear()
+    monkeypatch.setattr(agg_mod.jax, "device_count", lambda: 8)
+    agg.apply(av, x, attn_mask=a)
+    assert not calls
+    monkeypatch.setenv("UNCR_AGG_KERNEL", "1")
+    agg.apply(av, x, attn_mask=a)
+    assert calls
+
+    # explicit off switch wins even on one device
+    calls.clear()
+    monkeypatch.setenv("UNCR_AGG_KERNEL", "0")
+    monkeypatch.setattr(agg_mod.jax, "device_count", lambda: 1)
+    agg.apply(av, x, attn_mask=a)
     assert not calls
 
 

@@ -231,7 +231,7 @@ def test_config_default_mask_matches_reference():
 
 def test_find_model_file_searches_download_cache(tmp_path, monkeypatch):
     from uncrtaints_tpu.cli.download import (
-        s2cloudless_cache_dir, S2CLOUDLESS_MODEL, plan)
+        s2cloudless_cache_dir, S2CLOUDLESS_MODEL, S2CLOUDLESS_URL, format_step)
     from uncrtaints_tpu.data.s2cloudless import find_model_file
 
     monkeypatch.delenv("S2CLOUDLESS_MODEL_PATH", raising=False)
@@ -244,9 +244,6 @@ def test_find_model_file_searches_download_cache(tmp_path, monkeypatch):
     assert find_model_file() == target
 
     # the download CLI plans a wget of the weights into exactly that path
-    import argparse
-    args = argparse.Namespace(s2cloudless_weights=True, dest=".",
-                              dataset="sen12mscrts", splits=[], regions=[],
-                              modalities=[])
-    cmds = plan(args)
-    assert len(cmds) == 1 and cmds[0][0] == "wget" and target in cmds[0]
+    step = ("download", S2CLOUDLESS_URL, target)
+    cmd = format_step(step)
+    assert cmd.startswith("wget") and target in cmd

@@ -283,9 +283,12 @@ def main(args):
     manifest = build_manifest(args.dataset, args.splits, regions,
                               args.modalities, seasons=args.seasons)
     dest = os.path.expanduser(args.dest)
-    os.makedirs(dest, exist_ok=True)
-    if not args.skip_space_check:
-        check_disk_space(manifest, dest)
+    if args.run:
+        # only an actual download needs local space / the dest dir;
+        # a dry-run plan must print anywhere (air-gapped planning hosts)
+        os.makedirs(dest, exist_ok=True)
+        if not args.skip_space_check:
+            check_disk_space(manifest, dest)
     steps = fetch_steps(manifest, dest)
     for step in steps:
         print(format_step(step))

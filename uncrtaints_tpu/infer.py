@@ -17,12 +17,16 @@ scenes are 10980^2 -- this module adds the serving-side capability:
   agnostic: it only does device_put with whatever sharding is given.
 
 Variance handling: predicted aleatoric variances are blended with the same
-weights as the means (a convex combination -- conservative relative to the
-exact mixture variance, which would add the inter-window mean spread).
+weights as the means. Note this is the convex combination of per-window
+variances WITHOUT the inter-window mean-spread term of the exact mixture
+variance, i.e. a mild UNDER-estimate wherever overlapping windows disagree
+about the mean; treat blended uncertainty near window joins accordingly.
 """
 
 from __future__ import annotations
 
+import functools
+from types import SimpleNamespace
 from typing import Dict, Optional
 
 import numpy as np
@@ -31,8 +35,36 @@ import jax.numpy as jnp
 
 from uncrtaints_tpu.config import Config
 from uncrtaints_tpu.models.registry import mean_vars_idx
+from uncrtaints_tpu.train.engine import _cast_for_forward
 
 S2_BANDS = 13
+
+
+@functools.lru_cache(maxsize=8)
+def _scene_fwd(apply_fn, scale_by: float, compute_dtype: str,
+               mean_idx: int, vars_idx: int):
+    """One jitted forward per (model, scaling, dtype, head-split) -- cached
+    at module level so repeated predict_scene calls (scene-serving loops)
+    reuse the compiled program instead of re-tracing per call. Runs the same
+    mixed-precision cast as the benchmarked eval step (engine
+    _cast_for_forward: bf16 compute, fp32 master params)."""
+    cast_cfg = SimpleNamespace(compute_dtype=compute_dtype)
+    has_var = vars_idx > mean_idx
+
+    @jax.jit
+    def fwd(variables, xb, d_batch):
+        fwd_params, xc = _cast_for_forward(cast_cfg, variables["params"],
+                                           scale_by * xb)
+        out = apply_fn({"params": fwd_params,
+                        "batch_stats": variables["batch_stats"]},
+                       xc, batch_positions=d_batch,
+                       train=False).astype(jnp.float32)
+        mean = out[..., :mean_idx] / scale_by
+        var = (out[..., mean_idx:vars_idx] / (scale_by * scale_by)
+               if has_var else None)
+        return mean, var
+
+    return fwd
 
 
 def _axis_ramp(tile: int, overlap: int, n_windows: int) -> np.ndarray:
@@ -75,9 +107,11 @@ def predict_scene(state, cfg: Config, scene_x: jax.Array,
     data units (var omitted for deterministic heads).
     """
     T, H0, W0, C = scene_x.shape
-    tile = min(tile, max(H0, W0))
     if tile % 2:
         raise ValueError(f"tile must be even, got {tile}")
+    # round the scene-size clamp DOWN to even so an even user tile stays
+    # valid for odd-sized scenes
+    tile = min(tile, max(2, max(H0, W0) // 2 * 2))
     overlap = min(overlap, tile // 2)
     stride = tile - overlap
 
@@ -98,19 +132,12 @@ def predict_scene(state, cfg: Config, scene_x: jax.Array,
     wx = _axis_ramp(tile, overlap, len(xs))
     w2d = np.outer(wy, wx).astype(np.float32)        # [tile, tile]
 
-    s = cfg.scale_by
     mean_idx, vars_idx = mean_vars_idx(cfg)
     has_var = vars_idx > mean_idx
     d_batch = jnp.broadcast_to(dates[None], (batch_size, T)) \
         if dates is not None else None
-
-    @jax.jit
-    def fwd(variables, xb):
-        out = state.apply_fn(variables, s * xb, batch_positions=d_batch,
-                             train=False).astype(jnp.float32)
-        mean = out[..., :mean_idx] / s
-        var = out[..., mean_idx:vars_idx] / (s * s) if has_var else None
-        return mean, var
+    fwd = _scene_fwd(state.apply_fn, float(cfg.scale_by),
+                     str(cfg.compute_dtype), mean_idx, vars_idx)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
@@ -127,7 +154,7 @@ def predict_scene(state, cfg: Config, scene_x: jax.Array,
         xb = jnp.asarray(xb)
         if device_put_fn is not None:
             xb = device_put_fn(xb)
-        mean, var = fwd(variables, xb)
+        mean, var = fwd(variables, xb, d_batch)
         mean = np.asarray(mean)                       # [B, 1, tile, tile, 13]
         var = np.asarray(var) if has_var else None
         for i, (y, x) in enumerate(chunk):
