@@ -76,7 +76,6 @@ def test_aggregator_eval_dispatches_to_kernel(rng, monkeypatch):
 
     monkeypatch.setattr(agg_mod, "att_group_aggregate", spy)
     monkeypatch.setattr(agg_mod.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(agg_mod.jax, "device_count", lambda: 1)
     fused = agg.apply(av, x, attn_mask=a)
     assert calls, "eval path did not dispatch to the fused kernel"
     np.testing.assert_allclose(np.asarray(fused), np.asarray(baseline),
@@ -87,21 +86,14 @@ def test_aggregator_eval_dispatches_to_kernel(rng, monkeypatch):
     agg.apply(av, x, attn_mask=a, train=True,
               rngs={"dropout": jax.random.PRNGKey(1)})
     assert not calls
-
-    # multi-device process: no GSPMD rule for pallas_call -> repeat form,
-    # unless UNCR_AGG_KERNEL=1 forces it (shard_map'd callers)
-    calls.clear()
-    monkeypatch.setattr(agg_mod.jax, "device_count", lambda: 8)
-    agg.apply(av, x, attn_mask=a)
-    assert not calls
-    monkeypatch.setenv("UNCR_AGG_KERNEL", "1")
-    agg.apply(av, x, attn_mask=a)
+    monkeypatch.setenv("UNCR_AGG_TRAIN", "1")
+    agg.apply(av, x, attn_mask=a, train=True,
+              rngs={"dropout": jax.random.PRNGKey(1)})
     assert calls
 
-    # explicit off switch wins even on one device
+    # explicit off switch wins
     calls.clear()
     monkeypatch.setenv("UNCR_AGG_KERNEL", "0")
-    monkeypatch.setattr(agg_mod.jax, "device_count", lambda: 1)
     agg.apply(av, x, attn_mask=a)
     assert not calls
 
@@ -144,4 +136,62 @@ def test_att_group_aggregate_grad_multi_tile(rng):
     np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(da_k), np.asarray(da_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_default_path_single_device(rng):
+    """Default call (no tile/interpret) routes through the partitioned
+    wrapper; on one device it must equal the reference form."""
+    B, T, H, W, C, heads = 1, 3, 8, 8, 64, 16
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    a = jnp.asarray(rng.random((B, T, H, W, heads)).astype(np.float32))
+    got = jax.jit(att_group_aggregate)(x, a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_reference(x, a)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_execution_per_shard(rng):
+    """Batch- and H-sharded inputs over the 8-device mesh: the
+    custom_partitioning rule runs the kernel per shard; numerics must match
+    the unsharded reference."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from uncrtaints_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    B, T, H, W, C, heads = 8, 3, 16, 8, 32, 8
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    a = jnp.asarray(rng.random((B, T, H, W, heads)).astype(np.float32))
+    ref = np.asarray(_reference(x, a))
+
+    # batch sharding
+    xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ab = jax.device_put(a, NamedSharding(mesh, P("data")))
+    got = jax.jit(att_group_aggregate)(xb, ab)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6, atol=1e-6)
+
+    # spatial sharding on H (axis 2)
+    xh = jax.device_put(x, NamedSharding(mesh, P(None, None, "data")))
+    ah = jax.device_put(a, NamedSharding(mesh, P(None, None, "data")))
+    got = jax.jit(att_group_aggregate)(xh, ah)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_grad_through_custom_vjp(rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from uncrtaints_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    B, T, H, W, C, heads = 8, 2, 8, 8, 32, 4
+    x = jnp.asarray(rng.standard_normal((B, T, H, W, C)).astype(np.float32))
+    a = jnp.asarray(rng.random((B, T, H, W, heads)).astype(np.float32))
+    dx_r, da_r = jax.grad(lambda x_, a_: _reference(x_, a_).sum(),
+                          argnums=(0, 1))(x, a)
+
+    sh = NamedSharding(mesh, P("data"))
+    xb, ab = jax.device_put(x, sh), jax.device_put(a, sh)
+    dx, da = jax.jit(jax.grad(lambda x_, a_: att_group_aggregate(x_, a_).sum(),
+                              argnums=(0, 1)))(xb, ab)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_r),
                                rtol=1e-5, atol=1e-5)

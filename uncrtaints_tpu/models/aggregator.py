@@ -60,17 +60,12 @@ class TemporalAggregator(nn.Module):
                           and jax.default_backend() == "tpu"
                           and (not train
                                or os.environ.get("UNCR_AGG_TRAIN") == "1"))
-            if use_kernel:
-                # pallas_call has no GSPMD partitioning rule: under a
-                # multi-device mesh XLA would replicate / all-gather the
-                # operands instead of running the kernel per-shard --
-                # defeating exactly the sharded whole-scene path. Dispatch
-                # only when this process drives a single device;
-                # UNCR_AGG_KERNEL=1/0 forces it on (e.g. inside shard_map)
-                # or off.
-                force = os.environ.get("UNCR_AGG_KERNEL")
-                if force == "0" or (force != "1" and jax.device_count() > 1):
-                    use_kernel = False
+            # sharded callers are fine: the op carries a custom_partitioning
+            # rule (row-pointwise over b/h/w, t/c/heads kept whole per
+            # shard), tested on the 8-device mesh for fwd and bwd.
+            # UNCR_AGG_KERNEL=0 is the escape hatch.
+            if os.environ.get("UNCR_AGG_KERNEL") == "0":
+                use_kernel = False
             if use_kernel:
                 # fused Pallas kernel: head-expansion happens ON-CHIP via a
                 # 0/1 indicator matmul, never splitting the 128-lane channel

@@ -34,6 +34,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -192,6 +193,68 @@ def _bwd_call(x, attn, g, tile: Optional[int], interpret: Optional[bool]):
     return (dx.reshape(B, T, H, W, C), da.reshape(B, T, H, W, heads))
 
 
+# --------------------------------------------------------------------- #
+# GSPMD partitioning: pallas_call has no built-in partitioning rule, so a
+# sharded caller (data mesh, or the data x spatial whole-scene mesh) would
+# otherwise all-gather the operands. The op is row-pointwise over (b, h, w)
+# -- each output row needs only its own rows of x/attn -- so those axes
+# partition freely; t / c / heads must stay whole per shard (the kernel
+# accumulates over the full T and expands the full head->channel map), so
+# the partition callback forces them replicated and GSPMD reshards if
+# needed.
+# --------------------------------------------------------------------- #
+
+def _norm_spec(sharding, rank):
+    spec = list(sharding.spec)
+    return spec + [None] * (rank - len(spec))
+
+
+def _fwd_partition(mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    x_sh = arg_shapes[1].sharding     # args are (attn, x)? no: see order below
+    a_sh = arg_shapes[0].sharding
+    xs = _norm_spec(x_sh, 5)          # [b, t, h, w, c]
+    b, h, w = xs[0], xs[2], xs[3]
+    x_forced = NamedSharding(mesh, P(b, None, h, w, None))
+    a_forced = NamedSharding(mesh, P(b, None, h, w, None))
+    out_sh = NamedSharding(mesh, P(b, h, w, None))
+
+    def impl(attn, x):
+        return _fwd_call(x, attn, None, None)
+
+    return mesh, impl, out_sh, (a_forced, x_forced)
+
+
+_fwd_partitioned = custom_partitioning(
+    lambda attn, x: _fwd_call(x, attn, None, None))
+_fwd_partitioned.def_partition(
+    partition=_fwd_partition,
+    # t contracts on-chip; b/h/w shard; c/k stay whole (head-group map)
+    sharding_rule="b t h w k, b t h w c -> b h w c")
+
+
+def _bwd_partition(mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    a_sh = arg_shapes[0].sharding
+    xs = _norm_spec(arg_shapes[1].sharding, 5)
+    b, h, w = xs[0], xs[2], xs[3]
+    sh5 = NamedSharding(mesh, P(b, None, h, w, None))
+    g_sh = NamedSharding(mesh, P(b, h, w, None))
+
+    def impl(attn, x, g):
+        dx, da = _bwd_call(x, attn, g, None, None)
+        return dx, da
+
+    return mesh, impl, (sh5, sh5), (sh5, sh5, g_sh)
+
+
+_bwd_partitioned = custom_partitioning(
+    lambda attn, x, g: _bwd_call(x, attn, g, None, None))
+_bwd_partitioned.def_partition(
+    partition=_bwd_partition,
+    sharding_rule="b t h w k, b t h w c, b h w c -> b t h w c, b t h w k")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def att_group_aggregate(x: jax.Array, attn: jax.Array,
                         tile: Optional[int] = None,
@@ -205,17 +268,28 @@ def att_group_aggregate(x: jax.Array, attn: jax.Array,
     Differentiable: custom VJP runs a single fused backward kernel emitting
     both dx and dattn (the head contraction is the transpose indicator
     matmul, so the backward also never relayouts the lane dim).
+
+    The default path (tile/interpret unset) goes through the
+    custom_partitioning wrappers so sharded callers run the kernel
+    per-shard; explicit tile/interpret take the raw single-shard path
+    (tests, tuning).
     """
+    if tile is None and interpret is None:
+        return _fwd_partitioned(attn, x)
     return _fwd_call(x, attn, tile, interpret)
 
 
 def _vjp_fwd(x, attn, tile, interpret):
     # (fwd receives args in the original order; bwd gets nondiff args first)
+    if tile is None and interpret is None:
+        return _fwd_partitioned(attn, x), (x, attn)
     return _fwd_call(x, attn, tile, interpret), (x, attn)
 
 
 def _vjp_bwd(tile, interpret, res, g):
     x, attn = res
+    if tile is None and interpret is None:
+        return _bwd_partitioned(attn, x, g)
     return _bwd_call(x, attn, g, tile, interpret)
 
 
