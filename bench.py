@@ -42,12 +42,14 @@ def main(train: bool = False, batch_size: int = None):
     from uncrtaints_tpu.models import get_generator
     from uncrtaints_tpu.train import create_train_state, make_eval_step, make_train_step
 
-    # eval: B=16 is the measured throughput sweet spot (199 vs 192 seq/s at
-    # B=8; B=12 tiles badly, B>=24 exhausts device buffers through axon).
+    # eval: B=8 -- the round-3 measured best (232 seq/s after the tanh-GELU
+    # and aggregator work; B=16 was the round-2 sweet spot at 199 but has
+    # since repeatedly exhausted device buffers through the axon tunnel --
+    # see tools/r3_sweep.py for the standing A/B).
     # train: B=4 (the paper recipe, README.md:76-79) -- the backward pass at
     # B=8 exceeds comfortable HBM headroom on a single v5e chip.
     if batch_size is None:
-        batch_size = 4 if train else 16
+        batch_size = 4 if train else 8
     cfg = derive(Config(use_sar=True, scale_by=10.0,
                         batch_size=batch_size, lr=1e-3))
     model = get_generator(cfg)
