@@ -1,0 +1,111 @@
+"""Numerics tests for the single-pass depthwise kernel gradient (interpret
+mode on CPU; same code compiles via Mosaic on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad
+
+
+def _taps_reference(x, g, pads, kh, kw):
+    """The XLA tap form from models/layers.py:_dw_conv_same_bwd."""
+    N, H, W, C = x.shape
+    (pt, pb), (pl_, pr) = pads
+    Ho, Wo = H + pt + pb - kh + 1, W + pl_ + pr - kw + 1
+    xp = jnp.pad(x, [(0, 0), (pt, pb), (pl_, pr), (0, 0)])
+    g32 = g.astype(jnp.float32)
+    taps = []
+    for dy in range(kh):
+        for dx in range(kw):
+            tap = jax.lax.slice(xp, (0, dy, dx, 0), (N, dy + Ho, dx + Wo, C))
+            taps.append(jnp.sum(tap.astype(jnp.float32) * g32,
+                                axis=(0, 1, 2)))
+    return jnp.stack(taps).reshape(kh, kw, 1, C)
+
+
+def test_dw_kernel_grad_3x3_same(rng):
+    N, H, W, C = 2, 16, 16, 32
+    x = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    pads = ((1, 1), (1, 1))
+    got = dw_kernel_grad(x, g, pads, 3, 3, tile_h=8, interpret=True)
+    ref = _taps_reference(x, g, pads, 3, 3)
+    assert got.shape == (3, 3, 1, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dw_kernel_grad_bf16_inputs(rng):
+    N, H, W, C = 1, 8, 8, 64
+    x = jnp.asarray(rng.standard_normal((N, H, W, C))).astype(jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((N, H, W, C))).astype(jnp.bfloat16)
+    pads = ((1, 1), (1, 1))
+    got = dw_kernel_grad(x, g, pads, 3, 3, interpret=True)
+    ref = _taps_reference(x, g, pads, 3, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_dw_kernel_grad_valid_1x3(rng):
+    """The border-fix convs: VALID padding, 1x3 / 3x1 kernels."""
+    N, H, W, C = 1, 8, 16, 32
+    x = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    pads = ((0, 0), (0, 0))
+    g = jnp.asarray(rng.standard_normal((N, H, W - 2, C)).astype(np.float32))
+    got = dw_kernel_grad(x, g, pads, 1, 3, tile_h=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_taps_reference(x, g, pads, 1, 3)),
+        rtol=1e-5, atol=1e-5)
+
+    g2 = jnp.asarray(rng.standard_normal((N, H - 2, W, C)).astype(np.float32))
+    got2 = dw_kernel_grad(x, g2, pads, 3, 1, tile_h=3, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(_taps_reference(x, g2, pads, 3, 1)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_dw_kernel_grad_uneven_tile(rng):
+    """Ho not divisible by the default tile: falls back to a divisor."""
+    N, H, W, C = 1, 20, 8, 32
+    x = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    pads = ((1, 1), (1, 1))
+    got = dw_kernel_grad(x, g, pads, 3, 3, tile_h=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_taps_reference(x, g, pads, 3, 3)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_dw_vjp_gate_dispatches(rng, monkeypatch):
+    """UNCR_DW_GW=1 on a TPU backend routes the dw-conv kernel grad through
+    the single-pass kernel; gradients must match the tap form."""
+    from uncrtaints_tpu.models import layers as L
+    from uncrtaints_tpu.ops import pallas_dwgrad as PD
+
+    N, H, W, C = 1, 8, 8, 32
+    x = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 1, C)).astype(np.float32) * 0.1)
+
+    def loss(x_, w_):
+        return L._dw_conv_same(x_, w_).sum()
+
+    gx_ref, gw_ref = jax.grad(loss, argnums=(0, 1))(x, w)
+
+    calls = []
+    real = PD.dw_kernel_grad
+
+    def spy(*a, **kw):
+        calls.append(1)
+        kw["interpret"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setenv("UNCR_DW_GW", "1")
+    monkeypatch.setattr(L.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(PD, "dw_kernel_grad", spy)
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    assert calls, "gate did not dispatch to the kernel"
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               rtol=1e-5, atol=1e-5)

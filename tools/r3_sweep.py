@@ -57,18 +57,22 @@ for _ in range(iters):
     state, aux = run(state)
 _ = float(aux["loss"])
 dt = time.perf_counter() - t0
+import os as _os
 print(json.dumps({"mode": mode, "B": B, "remat": remat == "1",
                   "prng": prng, "agg_train": agg_train == "1",
+                  "dw_gw": _os.environ.get("UNCR_DW_GW") == "1",
                   "seq_per_sec": round(iters * B / dt, 2),
                   "ms_per_step": round(1000 * dt / iters, 2)}))
 """
 
 
 def run_cfg(mode, B, remat=False, prng="threefry2x32", agg_train=False,
-            iters=20, timeout=900):
+            dw_gw=False, iters=20, timeout=900):
     env = dict(os.environ)
     if agg_train:
         env["UNCR_AGG_TRAIN"] = "1"
+    if dw_gw:
+        env["UNCR_DW_GW"] = "1"
     cmd = [sys.executable, "-c", CHILD, mode, str(B),
            "1" if remat else "0", prng, "1" if agg_train else "0", str(iters)]
     try:
@@ -100,6 +104,8 @@ def main():
         ("train", dict(B=8, remat=True, prng="rbg")),
         ("train", dict(B=4, agg_train=True)),
         ("train", dict(B=8, remat=True, agg_train=True)),
+        ("train", dict(B=4, dw_gw=True)),
+        ("train", dict(B=8, remat=True, dw_gw=True)),
     ])
     out_path = "/tmp/r3_sweep.jsonl"
     with open(out_path, "a") as f:

@@ -19,6 +19,7 @@ mathematically identical for the per-sample norms used on the temporal path
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -87,11 +88,25 @@ def _dw_conv_same_fwd(x, w):
     return out, (x, w)
 
 
+def _use_pallas_dw_gw() -> bool:
+    """Single-pass Pallas kernel-grad (ops/pallas_dwgrad.py) A/B gate: the
+    XLA tap form re-reads x/g several times (~40 ms/step of per-channel
+    reduction fusions in the round-3 train profile); the kernel reads g
+    once and x kw times. Off until measured on hardware (tools/r3_sweep.py,
+    UNCR_DW_GW=1)."""
+    return (os.environ.get("UNCR_DW_GW") == "1"
+            and jax.default_backend() == "tpu")
+
+
 def _dw_conv_same_bwd(res, g):
     x, w = res
     N, H, W, C = x.shape
     kh, kw = w.shape[0], w.shape[1]
     gx = _dw_shift_add(g, w[::-1, ::-1], ((kh // 2,) * 2, (kw // 2,) * 2))
+    if _use_pallas_dw_gw():
+        from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad
+        gw = dw_kernel_grad(x, g, ((kh // 2,) * 2, (kw // 2,) * 2), kh, kw)
+        return gx, gw.astype(w.dtype)
     xp = jnp.pad(x, [(0, 0), (kh // 2,) * 2, (kw // 2,) * 2, (0, 0)])
     g32 = g.astype(jnp.float32)
     taps = []
@@ -130,6 +145,10 @@ def _dw_conv_valid_bwd(res, g):
     # input grad: FULL-pad correlation with the flipped kernel
     gx = _dw_shift_add(g, w[::-1, ::-1],
                        ((kh - 1, kh - 1), (kw - 1, kw - 1)))
+    if _use_pallas_dw_gw():
+        from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad
+        gw = dw_kernel_grad(x, g, ((0, 0), (0, 0)), kh, kw)
+        return gx, gw.astype(w.dtype)
     g32 = g.astype(jnp.float32)
     taps = []
     for dy in range(kh):
