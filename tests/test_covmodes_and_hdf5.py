@@ -93,3 +93,40 @@ def test_pad_collate_variable_t():
     # sample a's padded frames are pad_value=0 everywhere
     assert (batch["x"][0, 2:] == 0).all()
     assert (batch["dates"][0, 2:] == 0).all()
+
+
+def test_collate_multi_bf16_transfer_feeds_eval():
+    """x collated as bf16 (half host->device traffic) runs the eval step
+    with the same result as fp32-collated x up to the bf16 cast the step
+    performs anyway."""
+    import functools
+    from ml_dtypes import bfloat16 as np_bf16
+    import jax
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.data.pipeline import collate_multi
+    from uncrtaints_tpu.data.synthetic import SyntheticSEN12MSCRTS
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state, make_eval_step
+
+    ds = SyntheticSEN12MSCRTS(n_samples=2, n_input_t=3, patch_size=16)
+    samples = [ds[0], ds[1]]
+    b32 = collate_multi(samples, use_sar=True)
+    b16 = collate_multi(samples, use_sar=True, x_dtype=np_bf16)
+    assert b16["x"].dtype == np_bf16
+    assert b16["y"].dtype == np.float32
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=2, lr=1e-3,
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    dev32 = {"x": jnp.asarray(b32["x"]), "y": jnp.asarray(b32["y"]),
+             "dates": jnp.asarray(b32["dates"])}
+    dev16 = {"x": jnp.asarray(b16["x"]), "y": jnp.asarray(b16["y"]),
+             "dates": jnp.asarray(b16["dates"])}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), dev32)
+    ev = make_eval_step(cfg)
+    l32 = float(ev(state, dev32)["loss"])
+    l16 = float(ev(state, dev16)["loss"])
+    assert np.isfinite(l16)
+    # quantize-before-transfer vs cast-on-device: same precision class
+    assert abs(l16 - l32) < max(0.02 * abs(l32), 0.5), (l16, l32)
