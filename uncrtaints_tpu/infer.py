@@ -145,7 +145,7 @@ def predict_scene(state, cfg: Config, scene_x: jax.Array,
     vnum = np.zeros((H, W, mean_idx), np.float32) if has_var else None
     den = np.zeros((H, W, 1), np.float32)
 
-    for b0 in range(0, len(origins), batch_size):
+    def dispatch(b0):
         chunk = origins[b0:b0 + batch_size]
         xb = np.stack([scene_np[:, y:y + tile, x:x + tile] for y, x in chunk])
         if len(chunk) < batch_size:   # pad to the jitted batch shape
@@ -154,7 +154,16 @@ def predict_scene(state, cfg: Config, scene_x: jax.Array,
         xb = jnp.asarray(xb)
         if device_put_fn is not None:
             xb = device_put_fn(xb)
-        mean, var = fwd(variables, xb, d_batch)
+        return chunk, fwd(variables, xb, d_batch)     # async dispatch
+
+    # one-deep pipeline: the device computes batch i+1 while the host
+    # converts + blend-accumulates batch i (jax dispatch is async; a
+    # same-loop np.asarray would serialize host and device per batch)
+    starts = list(range(0, len(origins), batch_size))
+    pending = dispatch(starts[0])
+    for b0 in starts[1:] + [None]:
+        nxt = dispatch(b0) if b0 is not None else None
+        chunk, (mean, var) = pending
         mean = np.asarray(mean)                       # [B, 1, tile, tile, 13]
         var = np.asarray(var) if has_var else None
         for i, (y, x) in enumerate(chunk):
@@ -162,6 +171,7 @@ def predict_scene(state, cfg: Config, scene_x: jax.Array,
             if has_var:
                 vnum[y:y + tile, x:x + tile] += w2d[..., None] * var[i, 0]
             den[y:y + tile, x:x + tile] += w2d[..., None]
+        pending = nxt
 
     out = {"pred": (num / den)[None, :H0, :W0]}
     if has_var:
