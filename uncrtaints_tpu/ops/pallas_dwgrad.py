@@ -37,19 +37,24 @@ def _interpret_default():
 
 
 def _mk_kernel(kh: int, kw: int, th: int, W: int, C: int, nt: int):
-    def kernel(xp_hbm, g_ref, out_ref, xwin, sem):
+    def kernel(xp_hbm, g_ref, out_ref, xwin, sems):
         n = pl.program_id(0)
         t = pl.program_id(1)
-        g32 = g_ref[0].astype(jnp.float32)                 # [th, W, C]
         row0 = t * th
+        # start ALL column-offset window DMAs up front; waits interleave
+        # with the tap compute so later windows stream in behind dx=0
+        dmas = []
         for dx in range(kw):
             dma = pltpu.make_async_copy(
                 xp_hbm.at[n, pl.ds(row0, th + kh - 1), pl.ds(dx, W)],
-                xwin, sem)
+                xwin.at[dx], sems.at[dx])
             dma.start()
-            dma.wait()
+            dmas.append(dma)
+        g32 = g_ref[0].astype(jnp.float32)                 # [th, W, C]
+        for dx in range(kw):
+            dmas[dx].wait()
             for dy in range(kh):
-                tap = xwin[dy:dy + th].astype(jnp.float32)  # [th, W, C]
+                tap = xwin[dx, dy:dy + th].astype(jnp.float32)
                 part = (tap * g32).sum(axis=(0, 1))         # [C]
                 out_ref[0, 0, dy * kw + dx] = part
 
@@ -99,8 +104,8 @@ def dw_kernel_grad(x: jax.Array, g: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, nt, 16, C), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((th + kh - 1, Wo, C), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((kw, th + kh - 1, Wo, C), x.dtype),
+            pltpu.SemaphoreType.DMA((kw,)),
         ],
     )(xp, g)
     gw = parts.sum(axis=(0, 1))[:kh * kw]                  # [kh*kw, C]
