@@ -95,6 +95,7 @@ def main(train: bool = False, batch_size: int = None):
     seq_per_sec = iters * B / dt
     anchor = (V100_REFERENCE_TRAIN_SEQ_PER_SEC if train
               else V100_REFERENCE_SEQ_PER_SEC)
+    import os
     print(json.dumps({
         "metric": name,
         "value": round(seq_per_sec, 2),
@@ -105,6 +106,11 @@ def main(train: bool = False, batch_size: int = None):
         # measurement -- don't read vs_baseline as a measured comparison
         "vs_baseline_estimated": True,
         "baseline_source": "cpu_measured_x_peak_flops_ratio",
+        "batch_size": B,
+        # host context: dispatch runs on the host, and this box's core count
+        # varies per round (observed 1 core in round 3) -- record it so
+        # wall-vs-device gaps are interpretable across rounds
+        "host_cpus": os.cpu_count(),
     }))
 
 
