@@ -258,7 +258,7 @@ if __name__ == "__main__":
     except Exception as e:  # device-buffer exhaustion through axon is flaky
         if "RESOURCE_EXHAUSTED" not in str(e) or args.batch is not None:
             raise
-        fallback = 2 if args.train else 8
+        fallback = 2 if args.train else 4
         sys.stderr.write(f"default batch exhausted device buffers; "
                          f"retrying at B={fallback} in a clean process\n")
         # retry in a FRESH process: the failed attempt's device buffers are

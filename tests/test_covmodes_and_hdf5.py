@@ -97,8 +97,10 @@ def test_pad_collate_variable_t():
 
 def test_collate_multi_bf16_transfer_feeds_eval():
     """x collated as bf16 (half host->device traffic) runs the eval step
-    with the same result as fp32-collated x up to the bf16 cast the step
-    performs anyway."""
+    close to the fp32-collated result. NOT bit-identical: collation rounds
+    the raw input once before the step's fp32 scale_by multiply (see
+    data/pipeline.py collate_multi); the engine upcasts to fp32 for the
+    scale so only that one extra rounding remains."""
     import functools
     from ml_dtypes import bfloat16 as np_bf16
     import jax

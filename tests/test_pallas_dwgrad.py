@@ -102,6 +102,7 @@ def test_dw_vjp_gate_dispatches(rng, monkeypatch):
 
     monkeypatch.setenv("UNCR_DW_GW", "1")
     monkeypatch.setattr(L.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(L.jax, "device_count", lambda: 1)
     monkeypatch.setattr(PD, "dw_kernel_grad", spy)
     gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
     assert calls, "gate did not dispatch to the kernel"

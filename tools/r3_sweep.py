@@ -80,13 +80,14 @@ def run_cfg(mode, B, remat=False, prng="threefry2x32", agg_train=False,
                            text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
         return {"mode": mode, "B": B, "remat": remat, "prng": prng,
-                "agg_train": agg_train, "error": "timeout"}
+                "agg_train": agg_train, "dw_gw": dw_gw, "error": "timeout"}
     line = (p.stdout.strip().splitlines() or [""])[-1]
     try:
         return json.loads(line)
     except json.JSONDecodeError:
         return {"mode": mode, "B": B, "remat": remat, "prng": prng,
-                "agg_train": agg_train, "error": p.stderr[-500:]}
+                "agg_train": agg_train, "dw_gw": dw_gw,
+                "error": p.stderr[-500:]}
 
 
 def main():

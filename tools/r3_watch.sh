@@ -4,7 +4,7 @@
 set -u
 cd /root/repo
 for i in $(seq 1 300); do
-  if timeout 120 python -c "import jax; print(jax.devices())" >/tmp/tpu_probe.out 2>&1; then
+  if timeout 120 python -c "import jax; d = jax.devices(); print(d); assert d[0].platform == 'tpu', d" >/tmp/tpu_probe.out 2>&1; then
     echo "[watch] TPU UP (probe $i, $(date)): $(cat /tmp/tpu_probe.out)"
     bash /root/repo/tools/r3_campaign.sh
     exit 0

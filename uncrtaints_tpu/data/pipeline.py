@@ -36,10 +36,12 @@ def collate_multi(samples, use_sar: bool = True,
     """Stack sample dicts into one NHWC multi-temporal batch.
 
     ``x_dtype=ml_dtypes.bfloat16`` halves the host->device transfer of the
-    dominant tensor (x is T x 15 channels vs y's 1 x 13): the eval/train
-    steps cast x to bf16 for compute anyway (engine._cast_for_forward), so
-    quantizing before transfer moves the identical rounding one step
-    earlier. Targets/dates stay fp32 (metrics parity)."""
+    dominant tensor (x is T x 15 channels vs y's 1 x 13). This is lossy:
+    the raw input is rounded to bf16 once at collation (<=0.4% relative per
+    element) BEFORE the step's fp32 scale_by multiply, whereas the default
+    path rounds only after the multiply — measured loss shift <2% at B=2
+    (tests/test_covmodes_and_hdf5.py). Opt-in for throughput benches and
+    bf16-compute runs; targets/dates stay fp32 (metrics parity)."""
     xs, ys, dates, masks = [], [], [], []
     for s in samples:
         s1 = np.stack([_hwc(f) for f in s["input"]["S1"]])  # [T,H,W,2]

@@ -93,9 +93,12 @@ def _use_pallas_dw_gw() -> bool:
     XLA tap form re-reads x/g several times (~40 ms/step of per-channel
     reduction fusions in the round-3 train profile); the kernel reads g
     once and x kw times. Off until measured on hardware (tools/r3_sweep.py,
-    UNCR_DW_GW=1)."""
+    UNCR_DW_GW=1). Single-device only: unlike ops/pallas_aggregate.py the
+    kernel has no custom_partitioning rule yet, so under a multi-chip mesh
+    GSPMD would all-gather the full padded activations per device."""
     return (os.environ.get("UNCR_DW_GW") == "1"
-            and jax.default_backend() == "tpu")
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1)
 
 
 def _dw_conv_same_bwd(res, g):

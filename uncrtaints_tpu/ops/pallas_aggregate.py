@@ -211,9 +211,9 @@ def _norm_spec(sharding, rank):
 
 def _fwd_partition(mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding, PartitionSpec as P
-    x_sh = arg_shapes[1].sharding     # args are (attn, x)? no: see order below
-    a_sh = arg_shapes[0].sharding
-    xs = _norm_spec(x_sh, 5)          # [b, t, h, w, c]
+    # custom_partitioning args are (attn, x) in _fwd_call's wrapped order;
+    # x (arg_shapes[1]) is the 5-D [b, t, h, w, c] tensor we key shardings on
+    xs = _norm_spec(arg_shapes[1].sharding, 5)
     b, h, w = xs[0], xs[2], xs[3]
     x_forced = NamedSharding(mesh, P(b, None, h, w, None))
     a_forced = NamedSharding(mesh, P(b, None, h, w, None))
@@ -235,7 +235,6 @@ _fwd_partitioned.def_partition(
 
 def _bwd_partition(mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding, PartitionSpec as P
-    a_sh = arg_shapes[0].sharding
     xs = _norm_spec(arg_shapes[1].sharding, 5)
     b, h, w = xs[0], xs[2], xs[3]
     sh5 = NamedSharding(mesh, P(b, None, h, w, None))

@@ -73,6 +73,8 @@ def dw_kernel_grad(x: jax.Array, g: jax.Array,
     Requires stride 1 (the only stride the model uses).
     """
     N, H, W, C = x.shape
+    # the output BlockSpec holds the kh*kw taps in a fixed 16-row block
+    assert kh * kw <= 16, f"kernel {kh}x{kw} exceeds the 16-tap output block"
     (pt, pb), (pl_, pr) = pads
     Ho, Wo = H + pt + pb - kh + 1, W + pl_ + pr - kw + 1
     assert g.shape == (N, Ho, Wo, C), (g.shape, (N, Ho, Wo, C))

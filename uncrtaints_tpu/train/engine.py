@@ -131,7 +131,11 @@ def make_train_step(cfg: Config) -> Callable:
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, dropout_rng) -> Tuple[TrainState, Dict]:
-        x = s * batch["x"]
+        # Scale in fp32 regardless of the collated dtype: bf16-collated x
+        # (data/pipeline.py x_dtype) would otherwise double-round (bf16 scale
+        # then bf16 cast), and an fp32-compute config would silently run the
+        # forward in bf16. The upcast is free for fp32 inputs and fuses.
+        x = s * batch["x"].astype(jnp.float32)
         y = s * batch["y"]
         dates = batch.get("dates")
 
@@ -201,7 +205,7 @@ def make_eval_step(cfg: Config) -> Callable:
 
     @jax.jit
     def eval_step(state: TrainState, batch) -> Dict:
-        x = s * batch["x"]
+        x = s * batch["x"].astype(jnp.float32)  # see train_step: fp32 scale
         y = s * batch["y"]
         fwd_params, xc = _cast_for_forward(cfg, state.params, x)
         variables = {"params": fwd_params, "batch_stats": state.batch_stats}
