@@ -93,12 +93,12 @@ def _use_pallas_dw_gw() -> bool:
     XLA tap form re-reads x/g several times (~40 ms/step of per-channel
     reduction fusions in the round-3 train profile); the kernel reads g
     once and x kw times. Off until measured on hardware (tools/r3_sweep.py,
-    UNCR_DW_GW=1). Single-device only: unlike ops/pallas_aggregate.py the
-    kernel has no custom_partitioning rule yet, so under a multi-chip mesh
-    GSPMD would all-gather the full padded activations per device."""
+    UNCR_DW_GW=1). Multi-chip safe: dispatches through
+    dw_kernel_grad_sharded, whose custom_partitioning rule runs the kernel
+    on each batch shard and psums the [kh,kw,1,C] partials instead of
+    letting GSPMD all-gather the full padded activations."""
     return (os.environ.get("UNCR_DW_GW") == "1"
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1)
+            and jax.default_backend() == "tpu")
 
 
 def _dw_conv_same_bwd(res, g):
@@ -107,8 +107,9 @@ def _dw_conv_same_bwd(res, g):
     kh, kw = w.shape[0], w.shape[1]
     gx = _dw_shift_add(g, w[::-1, ::-1], ((kh // 2,) * 2, (kw // 2,) * 2))
     if _use_pallas_dw_gw():
-        from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad
-        gw = dw_kernel_grad(x, g, ((kh // 2,) * 2, (kw // 2,) * 2), kh, kw)
+        from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad_sharded
+        gw = dw_kernel_grad_sharded(x, g, ((kh // 2,) * 2, (kw // 2,) * 2),
+                                    kh, kw)
         return gx, gw.astype(w.dtype)
     xp = jnp.pad(x, [(0, 0), (kh // 2,) * 2, (kw // 2,) * 2, (0, 0)])
     g32 = g.astype(jnp.float32)

@@ -24,12 +24,14 @@ wired behind UNCR_DW_GW=1 in models/layers.py until measured on hardware
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
 
 
 def _interpret_default():
@@ -112,3 +114,60 @@ def dw_kernel_grad(x: jax.Array, g: jax.Array,
     )(xp, g)
     gw = parts.sum(axis=(0, 1))[:kh * kw]                  # [kh*kw, C]
     return gw.reshape(kh, kw, 1, C)
+
+
+# --------------------------------------------------------------------- #
+# GSPMD partitioning: the kernel gradient is a full reduction over batch
+# and space, so under a sharded caller (data-parallel train step) each
+# device can run the kernel on its own batch shard and psum the [kh,kw,1,C]
+# partials over the batch mesh axes — the same pattern a plain XLA reduce
+# would produce, but keeping the single-pass kernel per shard. Spatial
+# shards would need kh-1 halo rows of x across shard boundaries, which the
+# kernel does not fetch, so H/W are forced gathered (gradients never run on
+# the spatially-sharded whole-scene inference path anyway).
+# --------------------------------------------------------------------- #
+
+def _norm_spec(sharding, rank):
+    spec = list(sharding.spec)
+    return spec + [None] * (rank - len(spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned(pads: Tuple[Tuple[int, int], Tuple[int, int]],
+                 kh: int, kw: int):
+    def raw(x, g):
+        return dw_kernel_grad(x, g, pads, kh, kw)
+
+    def partition(mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        b = _norm_spec(arg_shapes[0].sharding, 4)[0]
+        in_sh = NamedSharding(mesh, P(b, None, None, None))
+        out_sh = NamedSharding(mesh, P())  # gw replicated after the psum
+
+        def impl(x, g):
+            gw = dw_kernel_grad(x, g, pads, kh, kw)
+            if b is not None:
+                axes = b if isinstance(b, tuple) else (b,)
+                gw = jax.lax.psum(gw, axes)
+            return gw
+
+        return mesh, impl, out_sh, (in_sh, in_sh)
+
+    p = custom_partitioning(raw)
+    p.def_partition(
+        partition=partition,
+        # n (batch) contracts across shards via the psum in impl; the
+        # padded-x spatial dims (h, w) and the cotangent's (i, j) are
+        # distinct sizes; output dims (kh, kw, 1) are fresh factors
+        sharding_rule="n h w c, n i j c -> y z u c")
+    return p
+
+
+def dw_kernel_grad_sharded(x: jax.Array, g: jax.Array,
+                           pads: Tuple[Tuple[int, int], Tuple[int, int]],
+                           kh: int, kw: int) -> jax.Array:
+    """dw_kernel_grad with a GSPMD partitioning rule: batch-sharded callers
+    run the kernel per shard and psum the kernel-gradient partials instead
+    of all-gathering the full activations. Single-device callers hit the
+    raw kernel unchanged."""
+    return _partitioned(pads, kh, kw)(x, g)
