@@ -1,0 +1,107 @@
+"""Child process for the REAL 2-process multi-host test (test_multihost.py).
+
+Run with env: COORDINATOR_ADDRESS=localhost:<port>, NUM_PROCESSES=2,
+PROCESS_ID=<i>, JAX_PLATFORMS=cpu,
+XLA_FLAGS=--xla_force_host_platform_device_count=4.
+
+Exercises, across two actual jax processes (the paths tests can only fake
+in-process): maybe_init_distributed's explicit-args branch, the global
+8-device mesh spanning both processes, BatchLoader per-host sharding,
+make_array_from_process_local_data global-batch assembly (_device_batch),
+a cross-process train-step gradient psum, _to_host's process_allgather, and
+_host_row_offset metric attribution. Prints one JSON line with everything
+the parent asserts on.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from uncrtaints_tpu.parallel import maybe_init_distributed, make_mesh
+from uncrtaints_tpu.data.pipeline import BatchLoader, collate_multi
+from uncrtaints_tpu.train import loop as loop_mod
+
+
+class _IdDS:
+    """8 samples; every pixel of sample i equals i (attribution tracer)."""
+
+    def __init__(self, n=8, t=2, hw=16):
+        self.n, self.t, self.hw = n, t, hw
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        t, hw = self.t, self.hw
+        mk = lambda c: [np.full((c, hw, hw), i, np.float32) for _ in range(t)]
+        return {
+            "input": {"S1": mk(2), "S2": mk(13),
+                      "masks": [np.zeros((hw, hw), np.float32)] * t,
+                      "S1 TD": list(range(t)), "S2 TD": list(range(t))},
+            "target": {"S2": [np.full((13, hw, hw), i, np.float32)]},
+        }
+
+
+def main():
+    pid, nproc = maybe_init_distributed()
+    out = {"pid": pid, "nproc": nproc,
+           "global_devices": jax.device_count(),
+           "local_devices": len(jax.local_devices())}
+
+    mesh = make_mesh(8)
+    sharding = NamedSharding(mesh, P("data"))
+
+    # per-host strided dataset shard -> local half of the global batch
+    ds = _IdDS()
+    loader = BatchLoader(ds, batch_size=4, shuffle=False,
+                         collate=collate_multi, shard=(pid, nproc))
+    local = next(iter(loader))
+    out["local_ids"] = [int(v) for v in local["x"][:, 0, 0, 0, 0]]
+
+    # global [8,...] arrays assembled from the two process-local halves
+    dev = loop_mod._device_batch(local, sharding)
+    assert not dev["x"].is_fully_addressable
+    off = loop_mod._host_row_offset(dev["x"], local_B=4)
+    out["offset"] = int(off)
+
+    # per-sample metric (mean of x) allgathered to every host; attribution:
+    # global row off+j must hold this host's local sample j
+    per_sample = jax.jit(lambda x: x.mean(axis=(1, 2, 3, 4)),
+                         out_shardings=NamedSharding(mesh, P("data")))(dev["x"])
+    gathered = loop_mod._to_host(per_sample)
+    out["gathered"] = [float(v) for v in gathered]
+    out["attribution_ok"] = all(
+        abs(gathered[off + j] - out["local_ids"][j]) < 1e-6 for j in range(4))
+
+    # engine across processes: eval + one train step (gradient psum over the
+    # 2-process mesh) on a tiny model
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.parallel import replicated_sharding
+    from uncrtaints_tpu.train import (create_train_state, make_eval_step,
+                                      make_train_step)
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=8, lr=1e-3,
+                        input_t=2, encoder_widths=[8], decoder_widths=[8, 8],
+                        n_head=4, d_model=16))
+    model = get_generator(cfg)
+    # mirror cli/train.py: init from the global sharded sample batch, then
+    # replicate the state over the whole (cross-process) mesh
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), dev)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    ev = make_eval_step(cfg)(state, dev)
+    out["eval_loss"] = float(loop_mod._to_host(ev["loss"]))
+    st2, aux = make_train_step(cfg)(state, dev, jax.random.PRNGKey(1))
+    out["train_loss"] = float(loop_mod._to_host(aux["loss"]))
+    out["train_finite"] = bool(np.isfinite(out["train_loss"]))
+
+    print("RESULT " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

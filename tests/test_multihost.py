@@ -141,3 +141,64 @@ def test_host_row_offset_from_sharding():
         addressable_shards=[types.SimpleNamespace(index=(slice(None, 2),
                                                          slice(None)))])
     assert _host_row_offset(fake0, 2) == 0
+
+
+def test_two_real_processes_end_to_end():
+    """REAL 2-process multi-host run on the CPU backend (4 virtual devices
+    per process -> one global 8-device mesh): distributed init via bare
+    COORDINATOR_ADDRESS, per-host loader shards, global-batch assembly,
+    cross-process eval/train steps (gradient psum over DCN), allgathered
+    per-sample metrics, and _host_row_offset attribution. The children run
+    tests/_multiproc_child.py; this parent asserts their JSON reports."""
+    import json
+    import os
+    import socket
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def env_for(pid):
+        return {
+            "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+            "HOME": os.environ.get("HOME", "/root"),
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "COORDINATOR_ADDRESS": f"localhost:{port}",
+            "NUM_PROCESSES": "2",
+            "PROCESS_ID": str(pid),
+        }
+
+    procs = [subprocess.Popen(
+        [os.sys.executable, os.path.join(repo, "tests", "_multiproc_child.py")],
+        env=env_for(i), cwd=repo, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=280)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-2000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert line, out
+        outs.append(json.loads(line[-1][len("RESULT "):]))
+
+    r0, r1 = sorted(outs, key=lambda r: r["pid"])
+    for r in (r0, r1):
+        assert r["nproc"] == 2 and r["global_devices"] == 8
+        assert r["local_devices"] == 4
+        assert r["attribution_ok"], r
+        assert r["train_finite"], r
+    # strided disjoint per-host shards covering the dataset
+    assert sorted(r0["local_ids"] + r1["local_ids"]) == list(range(8))
+    # both hosts see the SAME global metric vector and losses (SPMD)
+    assert r0["gathered"] == r1["gathered"]
+    assert r0["eval_loss"] == r1["eval_loss"]
+    assert r0["train_loss"] == r1["train_loss"]
+    # contiguous non-overlapping host spans of the global batch
+    assert sorted((r0["offset"], r1["offset"])) == [0, 4]
