@@ -162,8 +162,8 @@ def main_e2e(batch_size: int = 16, n_patches: int = 64, epochs: int = 4,
                         batch_size=batch_size, lr=1e-3))
     model = get_generator(cfg)
     # bf16 x on the host: halves the dominant host->device transfer through
-    # the axon tunnel; numerically identical to the on-device bf16 cast the
-    # eval step performs anyway (collate_multi docstring)
+    # the axon tunnel at the cost of one extra bf16 rounding of the raw
+    # input before the fp32 scale (collate_multi docstring; loss shift <2%)
     import functools
     from ml_dtypes import bfloat16 as np_bf16
     collate = functools.partial(collate_multi, x_dtype=np_bf16)
@@ -211,6 +211,57 @@ def main_e2e(batch_size: int = 16, n_patches: int = 64, epochs: int = 4,
     }))
 
 
+def main_scene(scene_hw: int = 1024, tile: int = 256, overlap: int = 64,
+               batch_size: int = 8, iters: int = 3):
+    """Whole-scene serving throughput: infer.predict_scene (overlapping
+    window batches through the jitted forward + host crossfade blending)
+    over a synthetic [T, scene_hw, scene_hw, C] scene. Reports output
+    megapixels/sec end-to-end plus the 256-squared-sequence equivalent so
+    it is comparable with the eval anchor."""
+    from uncrtaints_tpu.config import Config, derive, input_dim
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state
+    from uncrtaints_tpu.infer import predict_scene
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0,
+                        batch_size=batch_size, lr=1e-3))
+    model = get_generator(cfg)
+    T, C = cfg.input_t, input_dim(cfg)
+    rng = np.random.default_rng(0)
+    scene = rng.random((T, scene_hw, scene_hw, C), dtype=np.float32)
+    dates = jnp.asarray(np.arange(T, dtype=np.float32) * 12.0)  # [T]
+    init_batch = {
+        "x": jnp.zeros((batch_size, T, tile, tile, C)),
+        "y": jnp.zeros((batch_size, 1, tile, tile, 13)),
+        "dates": jnp.zeros((batch_size, T)),
+    }
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), init_batch)
+
+    out = predict_scene(state, cfg, scene, dates, tile=tile,
+                        overlap=overlap, batch_size=batch_size)  # compile
+    assert out["pred"].shape == (1, scene_hw, scene_hw, 13)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict_scene(state, cfg, scene, dates, tile=tile,
+                            overlap=overlap, batch_size=batch_size)
+    dt = time.perf_counter() - t0
+
+    mpix = iters * scene_hw * scene_hw / dt / 1e6
+    seq_equiv = iters * scene_hw * scene_hw / dt / (256 * 256)
+    print(json.dumps({
+        "metric": "uncrtaints_scene_serving_throughput",
+        "value": round(mpix, 2),
+        "unit": "output_megapixels/sec/chip",
+        "seq256_equivalent_per_sec": round(seq_equiv, 2),
+        "vs_baseline": round(seq_equiv / V100_REFERENCE_SEQ_PER_SEC, 2),
+        "vs_baseline_estimated": True,
+        "baseline_source": "cpu_measured_x_peak_flops_ratio",
+        "scene_hw": scene_hw, "tile": tile, "overlap": overlap,
+        "batch_size": batch_size,
+    }))
+
+
 def _wait_for_device(max_wait: float = 600.0) -> bool:
     """The axon TPU tunnel can be transiently down, in which case ANY
     jax.devices() call blocks indefinitely (observed round 3: >1 h outage).
@@ -243,6 +294,8 @@ if __name__ == "__main__":
                     help="benchmark the train step instead of eval")
     ap.add_argument("--e2e", action="store_true",
                     help="benchmark the full host pipeline + eval step")
+    ap.add_argument("--scene", action="store_true",
+                    help="benchmark whole-scene serving (infer.predict_scene)")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the default batch size")
     args = ap.parse_args()
@@ -252,6 +305,9 @@ if __name__ == "__main__":
         sys.exit(3)
     if args.e2e:
         main_e2e()
+        sys.exit(0)
+    if args.scene:
+        main_scene(batch_size=args.batch or 8)
         sys.exit(0)
     try:
         main(train=args.train, batch_size=args.batch)

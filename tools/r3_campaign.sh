@@ -32,3 +32,7 @@ timeout 1800 python bench.py --e2e > $OUT/bench_e2e.json 2> $OUT/bench_e2e.err
 echo "rc=$? $(cat $OUT/bench_e2e.json 2>/dev/null)"
 
 echo "== $(date) campaign done =="
+
+echo "== $(date) scene serving bench =="
+timeout 1200 python bench.py --scene > $OUT/bench_scene.json 2> $OUT/bench_scene.err
+echo "rc=$? $(cat $OUT/bench_scene.json 2>/dev/null)"
