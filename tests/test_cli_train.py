@@ -64,3 +64,45 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
 
     # the discard-curve calibration artifact of the final test pass
     assert os.path.isfile(os.path.join(exp, "plot_test_SE_discard.png"))
+
+
+def test_cli_test_end_to_end(tmp_path, monkeypatch):
+    """cli.test against a cli.train run: conf.json merge (stored model
+    hyperparams win over fresh arg defaults, NO_OVERWRITE list respected),
+    best-checkpoint load, test-split iterate, metrics file written — the
+    reference's test_reconstruct.py flow."""
+    import uncrtaints_tpu.cli.train as cli_train
+    import uncrtaints_tpu.cli.test as cli_test
+    from uncrtaints_tpu.config import Config
+    from uncrtaints_tpu.data.synthetic import SyntheticSEN12MSCRTS
+
+    cfg = _tiny_cfg(tmp_path)
+    mk = lambda seed: SyntheticSEN12MSCRTS(
+        n_samples=8, n_input_t=cfg.input_t, patch_size=32, seed=seed)
+    fake = lambda c: (mk(1), mk(2), mk(3))
+    monkeypatch.setattr(cli_train, "build_datasets", fake)
+    monkeypatch.setattr(cli_test, "build_datasets", fake)
+    cli_train.main(cfg)
+
+    out_dir = tmp_path / "test_out"
+    tcfg = cli_test.load_test_config([
+        "--experiment_name", "smoke",
+        "--weight_folder", str(tmp_path),
+        "--res_dir", str(out_dir),
+        "--max_samples_count", "4",
+        "--batch_size", "4",
+        "--input_t", "3",
+    ])
+    # merged from the stored conf.json (defaults differ)
+    assert tcfg.encoder_widths == [16]
+    assert tcfg.decoder_widths == [16, 16]
+    assert tcfg.n_head == 4 and tcfg.d_model == 32
+    # NO_OVERWRITE_TEST: the fresh CLI values win over the stored run's
+    assert tcfg.res_dir == str(out_dir)
+    assert tcfg.weight_folder == str(tmp_path)
+    assert tcfg.max_samples_count == 4 and tcfg.batch_size == 4
+
+    metrics = cli_test.main(tcfg)
+    assert metrics and np.isfinite(metrics["RMSE"])
+    assert os.path.isfile(os.path.join(str(out_dir), "smoke",
+                                       "test_metrics.json"))
