@@ -333,3 +333,33 @@ def test_sen12mscr_split_filtering(cr_tree):
         ds_val = cr_mod.SEN12MSCR(cr_tree, split="val",
                                   cloud_masks="cloud_cloudshadow_mask")
     assert len(ds_val) == 0
+
+
+def test_precompute_cli_on_fixture_tree(ts_tree, tmp_path):
+    """cli/precompute over the on-disk tree: per-patch coverage stats and
+    fixed-sampler date indices exported in the reference's
+    generic_{t}_{split}_{region}_{mask}.npy format
+    (pre_compute_data_samples.py:46-128 parity)."""
+    from uncrtaints_tpu.cli import precompute as pc
+
+    out_dir = str(tmp_path / "pre")
+    args = pc.create_parser().parse_args([
+        "--root", ts_tree, "--split", "train", "--region", "all",
+        "--input_t", "3", "--cloud_masks", "cloud_cloudshadow_mask",
+        "--out_dir", out_dir, "--sample_dates",
+    ])
+    out = pc.main(args)
+    assert os.path.basename(out) == \
+        "generic_3_train_all_cloud_cloudshadow_mask.npy"
+    data = np.load(out, allow_pickle=True).item()
+    assert len(data) == N_PATCH  # one train ROI x N_PATCH patches
+    for entry in data.values():
+        assert entry["coverage"].shape == (T,)
+        assert np.all((entry["coverage"] >= 0) & (entry["coverage"] <= 1))
+        assert len(entry["paths"]["S1"]) == T
+        # fixed-sampler indices: input_t inputs + the least-cloudy target
+        # (which MAY coincide with an input, dataLoader.py fixed semantics)
+        assert len(entry["input"]) == 3
+        t = int(entry["target"])
+        assert 0 <= t < T
+        assert entry["coverage"][t] == entry["coverage"].min()
