@@ -311,16 +311,31 @@ if __name__ == "__main__":
         sys.exit(0)
     try:
         main(train=args.train, batch_size=args.batch)
-    except Exception as e:  # device-buffer exhaustion through axon is flaky
-        if "RESOURCE_EXHAUSTED" not in str(e) or args.batch is not None:
-            raise
-        fallback = 2 if args.train else 4
-        sys.stderr.write(f"default batch exhausted device buffers; "
-                         f"retrying at B={fallback} in a clean process\n")
-        # retry in a FRESH process: the failed attempt's device buffers are
-        # not reliably reclaimed in-process through the axon tunnel
+    except Exception as e:
+        import os as _os
         import subprocess
-        cmd = [sys.executable, __file__, "--batch", str(fallback)]
-        if args.train:
-            cmd.append("--train")
-        sys.exit(subprocess.run(cmd).returncode)
+        if ("RESOURCE_EXHAUSTED" in str(e) and args.batch is None):
+            # device-buffer exhaustion through axon is flaky: retry smaller
+            # in a FRESH process (the failed attempt's buffers are not
+            # reliably reclaimed in-process through the tunnel)
+            fallback = 2 if args.train else 4
+            sys.stderr.write(f"default batch exhausted device buffers; "
+                             f"retrying at B={fallback} in a clean process\n")
+            cmd = [sys.executable, __file__, "--batch", str(fallback)]
+            if args.train:
+                cmd.append("--train")
+            sys.exit(subprocess.run(cmd).returncode)
+        if _os.environ.get("UNCR_AGG_KERNEL") != "0":
+            # the fused aggregation kernel is default-on for TPU eval but
+            # Mosaic-compiled only at runtime; if anything non-OOM breaks,
+            # record a number on the XLA fallback path rather than nothing
+            sys.stderr.write(f"bench failed ({type(e).__name__}: {e}); "
+                             f"retrying once with UNCR_AGG_KERNEL=0\n")
+            env = dict(_os.environ, UNCR_AGG_KERNEL="0")
+            cmd = [sys.executable, __file__]
+            if args.train:
+                cmd.append("--train")
+            if args.batch is not None:
+                cmd += ["--batch", str(args.batch)]
+            sys.exit(subprocess.run(cmd, env=env).returncode)
+        raise
