@@ -7,6 +7,14 @@ OUT=/tmp/r3_campaign
 mkdir -p $OUT
 cd /root/repo
 
+echo "== $(date) kernel compile probe (Mosaic reality check) =="
+timeout 900 python tools/r3_kernel_probe.py > $OUT/kernel_probe.jsonl 2> $OUT/kernel_probe.err
+KP_RC=$?
+echo "rc=$KP_RC"; cat $OUT/kernel_probe.jsonl 2>/dev/null
+# if the fused aggregation kernel fails on real hardware, run the rest of
+# the campaign on the XLA path so every number is still recorded
+if [ $KP_RC -ne 0 ]; then export UNCR_AGG_KERNEL=0; echo "kernel probe FAILED: UNCR_AGG_KERNEL=0 for the rest of the campaign"; fi
+
 echo "== $(date) bench eval (default B=8, fused aggregation kernel) =="
 timeout 900 python bench.py > $OUT/bench_eval.json 2> $OUT/bench_eval.err
 echo "rc=$? $(cat $OUT/bench_eval.json 2>/dev/null)"
