@@ -157,16 +157,18 @@ def main_e2e(batch_size: int = 16, n_patches: int = 64, epochs: int = 4,
     from uncrtaints_tpu.data.pipeline import BatchLoader, collate_multi
 
     path = _e2e_store(n_patches, frames=5, patch=256)
-    ds = HDF5SEN12MSCRTS(path, n_input_samples=3)
+    # raw uint16 S2 straight into the single-pass LUT collate
+    # (radiometry + layout + bf16 cast fused in one native pass per frame);
+    # bf16 x halves the host->device transfer through the axon tunnel at
+    # the cost of one extra bf16 rounding of the raw input before the fp32
+    # scale (collate docstrings; loss shift <2%)
+    ds = HDF5SEN12MSCRTS(path, n_input_samples=3, raw_s2=True)
     cfg = derive(Config(use_sar=True, scale_by=10.0,
                         batch_size=batch_size, lr=1e-3))
     model = get_generator(cfg)
-    # bf16 x on the host: halves the dominant host->device transfer through
-    # the axon tunnel at the cost of one extra bf16 rounding of the raw
-    # input before the fp32 scale (collate_multi docstring; loss shift <2%)
-    import functools
     from ml_dtypes import bfloat16 as np_bf16
-    collate = functools.partial(collate_multi, x_dtype=np_bf16)
+    from uncrtaints_tpu.data.pipeline import make_fast_collate
+    collate = make_fast_collate(x_dtype=np_bf16)
     loader = BatchLoader(ds, batch_size=batch_size, shuffle=False,
                          collate=collate, use_sar=True,
                          num_workers=num_workers, drop_last=True)

@@ -49,3 +49,96 @@ def test_chw_to_hwc(rng):
     chw = rng.random((7, 9, 11)).astype(np.float32)
     got = native.chw_to_hwc(chw)
     np.testing.assert_array_equal(got, np.moveaxis(chw, 0, -1))
+
+
+def test_frame_into_slab_u16_lut_exact(rng):
+    """Single-pass LUT slab writer == moveaxis(process_MS) exactly (fp32)
+    and == .astype(bfloat16) bit-exactly (bf16 LUT entries via ml_dtypes)."""
+    from ml_dtypes import bfloat16
+    from uncrtaints_tpu.data.preprocess import process_MS
+
+    u16 = rng.integers(0, 14000, (13, 32, 32)).astype(np.uint16)
+    ref = np.moveaxis(process_MS(u16.astype(np.float32)), 0, -1)
+
+    slab = np.full((32, 32, 15), -1, np.float32)
+    assert native.frame_into_slab(slab, 2, u16)
+    np.testing.assert_array_equal(slab[..., 2:], ref)
+    assert np.all(slab[..., :2] == -1)  # other channels untouched
+
+    slab16 = np.zeros((32, 32, 15), bfloat16)
+    assert native.frame_into_slab(slab16, 2, u16)
+    np.testing.assert_array_equal(slab16[..., 2:].view(np.uint16),
+                                  ref.astype(bfloat16).view(np.uint16))
+
+
+def test_frame_into_slab_f32_copy_and_bf16_rne(rng):
+    from ml_dtypes import bfloat16
+
+    f32 = rng.standard_normal((2, 16, 16)).astype(np.float32)
+    hwc = np.moveaxis(f32, 0, -1)
+    slab = np.zeros((16, 16, 15), np.float32)
+    assert native.frame_into_slab(slab, 0, f32)
+    np.testing.assert_array_equal(slab[..., :2], hwc)
+
+    slab16 = np.zeros((16, 16, 15), bfloat16)
+    assert native.frame_into_slab(slab16, 0, f32)
+    np.testing.assert_array_equal(slab16[..., :2].view(np.uint16),
+                                  hwc.astype(bfloat16).view(np.uint16))
+
+
+def test_fast_collate_matches_generic(rng):
+    """make_fast_collate over raw-uint16 S2 samples == collate_multi over
+    the processed twins, exactly (fp32) / RNE-exactly (bf16); it also
+    consumes already-processed fp32 samples unchanged."""
+    from ml_dtypes import bfloat16
+    from uncrtaints_tpu.data.pipeline import collate_multi, make_fast_collate
+    from uncrtaints_tpu.data.preprocess import process_MS
+
+    raw_s, proc_s = [], []
+    for i in range(3):
+        s2u = [rng.integers(0, 14000, (13, 16, 16)).astype(np.uint16)
+               for _ in range(2)]
+        tgu = rng.integers(0, 14000, (13, 16, 16)).astype(np.uint16)
+        s1 = [rng.standard_normal((2, 16, 16)).astype(np.float32)
+              for _ in range(2)]
+        base = {"input": {"S1": s1,
+                          "masks": [np.zeros((16, 16), np.float32)] * 2,
+                          "S1 TD": [1, 2], "S2 TD": [3, 4]}}
+        raw_s.append({"input": {**base["input"], "S2": s2u},
+                      "target": {"S2": [tgu]}})
+        proc_s.append({
+            "input": {**base["input"],
+                      "S2": [process_MS(f.astype(np.float32)) for f in s2u]},
+            "target": {"S2": [process_MS(tgu.astype(np.float32))]}})
+
+    ref = collate_multi(proc_s, use_sar=True)
+    fast = make_fast_collate(x_dtype=np.float32)(raw_s, use_sar=True)
+    for k in ("x", "y", "dates", "masks"):
+        np.testing.assert_array_equal(fast[k], ref[k])
+    fast16 = make_fast_collate(x_dtype=bfloat16)(raw_s, use_sar=True)
+    np.testing.assert_array_equal(fast16["x"].view(np.uint16),
+                                  ref["x"].astype(bfloat16).view(np.uint16))
+    fast_proc = make_fast_collate(x_dtype=np.float32)(proc_s, use_sar=True)
+    np.testing.assert_array_equal(fast_proc["x"], ref["x"])
+
+
+def test_hdf5_raw_s2_roundtrip(tmp_path, rng):
+    """HDF5SEN12MSCRTS(raw_s2=True) + fast collate == processed dataset +
+    generic collate, end to end through BatchLoader."""
+    from uncrtaints_tpu.data.hdf5 import HDF5SEN12MSCRTS
+    from uncrtaints_tpu.data.pipeline import (BatchLoader, collate_multi,
+                                              make_fast_collate)
+    import bench
+
+    path = bench._e2e_store(4, frames=4, patch=16)
+    ds_raw = HDF5SEN12MSCRTS(path, n_input_samples=2, raw_s2=True)
+    ds_ref = HDF5SEN12MSCRTS(path, n_input_samples=2)
+    assert np.asarray(ds_raw[0]["input"]["S2"][0]).dtype == np.uint16
+
+    mk = lambda ds, col: next(iter(BatchLoader(
+        ds, batch_size=4, shuffle=False, collate=col, use_sar=True,
+        num_workers=2, drop_last=True)))
+    fast = mk(ds_raw, make_fast_collate(x_dtype=np.float32))
+    ref = mk(ds_ref, collate_multi)
+    for k in ("x", "y", "dates", "masks"):
+        np.testing.assert_array_equal(fast[k], ref[k])

@@ -68,7 +68,7 @@ class HDF5SEN12MSCRTS:
     def __init__(self, path: str, n_input_samples: int = 3,
                  sampler: str = "fixed", min_cov: float = 0.0,
                  max_cov: float = 1.0, rescale_method: str = "default",
-                 seed: int = 1):
+                 seed: int = 1, raw_s2: bool = False):
         if h5py is None:
             raise ImportError("h5py is required for the HDF5 data source")
         self.path = path
@@ -76,6 +76,10 @@ class HDF5SEN12MSCRTS:
         self.sampling = sampler
         self.min_cov, self.max_cov = min_cov, max_cov
         self.method = rescale_method
+        # raw_s2: skip host radiometry and return uint16 DN S2 frames for
+        # the single-pass LUT collate (data/pipeline.py make_fast_collate);
+        # plain collate_multi CANNOT consume raw frames
+        self.raw_s2 = raw_s2
         self.seed = seed
         self.epoch_count = 0
         self._file = None
@@ -119,11 +123,15 @@ class HDF5SEN12MSCRTS:
         sel = sorted(inputs_idx)
 
         s1 = g["S1"][sel].astype(np.float32)
-        s2 = process_MS(g["S2"][sel].astype(np.float32), self.method)
+        if self.raw_s2:
+            s2 = g["S2"][sel]                      # uint16 DN, LUT collate
+            tg_s2 = g["S2"][cloudless_idx]
+        else:
+            s2 = process_MS(g["S2"][sel].astype(np.float32), self.method)
+            tg_s2 = process_MS(g["S2"][cloudless_idx].astype(np.float32),
+                               self.method)
         masks = g["masks"][sel].astype(np.float32)
         tg_s1 = g["S1"][cloudless_idx].astype(np.float32)
-        tg_s2 = process_MS(g["S2"][cloudless_idx].astype(np.float32),
-                           self.method)
         tg_mask = g["masks"][cloudless_idx].astype(np.float32)
         s1_td = g["s1_td"][:]
         s2_td = g["s2_td"][:]

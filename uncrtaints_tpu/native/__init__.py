@@ -107,3 +107,83 @@ def chw_to_hwc(chw: np.ndarray) -> np.ndarray:
                            _ptr(out, ctypes.c_float), C, H, W)
         return out
     return np.ascontiguousarray(np.moveaxis(chw, 0, -1))
+
+
+# ------------------------- slab writers ------------------------------ #
+# One native pass from a CHW frame directly into a batch slab row
+# [H, W, dstC] at a channel offset: batch assembly without any
+# stack/concatenate/astype passes. uint16 DN radiometry is an exact
+# 65536-entry lookup table (bf16 entries produced by ml_dtypes, so the
+# rounding is identical to .astype(bfloat16)).
+
+_LUTS: dict = {}
+_I64 = ctypes.c_int64
+
+
+def _bf16_dtype():
+    from ml_dtypes import bfloat16
+    return np.dtype(bfloat16)
+
+
+def ms_lut(method: str, dtype) -> np.ndarray:
+    """process_MS as a LUT over the uint16 DN range (exact parity: the
+    same fp32 clip+divide the numpy path performs, then the same cast)."""
+    key = (method, np.dtype(dtype).str)
+    lut = _LUTS.get(key)
+    if lut is None:
+        v = np.clip(np.arange(65536, dtype=np.float32), 0.0, 10000.0)
+        v = v / 2000.0 if method == "resnet" else v / 10000.0
+        lut = np.ascontiguousarray(v.astype(dtype))
+        _LUTS[key] = lut
+    return lut
+
+
+def frame_into_slab(slab_hwc: np.ndarray, c0: int, chw: np.ndarray,
+                    method: str = "default") -> bool:
+    """Write a [C,H,W] frame into slab_hwc[:, :, c0:c0+C] in one pass.
+
+    chw uint16 (raw S2 DN): radiometry applied via LUT (process_MS parity).
+    chw float32 (already-processed frame): plain layout copy, cast to the
+    slab dtype (bf16 round-to-nearest-even in C++).
+    Returns False when the native library is unavailable or dtypes are
+    unsupported (caller falls back to the numpy path)."""
+    lib = _lib()
+    if lib is None or not chw.flags.c_contiguous \
+            or not slab_hwc.flags.c_contiguous:
+        return False
+    C, H, W = chw.shape
+    assert slab_hwc.shape[0] == H and slab_hwc.shape[1] == W
+    dstC = slab_hwc.shape[-1]
+    assert c0 + C <= dstC
+    base = slab_hwc.ctypes.data + c0 * slab_hwc.itemsize
+    is_bf16 = slab_hwc.itemsize == 2 and slab_hwc.dtype == _bf16_dtype()
+    is_f32 = slab_hwc.dtype == np.float32
+    if not (is_bf16 or is_f32):
+        return False
+    if chw.dtype == np.uint16:
+        if is_f32:
+            lut = ms_lut(method, np.float32)
+            lib.u16_lut_chw_to_hwc_slab_f32(
+                _ptr(chw, ctypes.c_uint16), _ptr(lut, ctypes.c_float),
+                ctypes.cast(base, ctypes.POINTER(ctypes.c_float)),
+                _I64(C), _I64(H), _I64(W), _I64(dstC))
+        else:
+            lut = ms_lut(method, _bf16_dtype()).view(np.uint16)
+            lib.u16_lut_chw_to_hwc_slab_u16(
+                _ptr(chw, ctypes.c_uint16), _ptr(lut, ctypes.c_uint16),
+                ctypes.cast(base, ctypes.POINTER(ctypes.c_uint16)),
+                _I64(C), _I64(H), _I64(W), _I64(dstC))
+        return True
+    if chw.dtype == np.float32:
+        if is_f32:
+            lib.f32_chw_to_hwc_slab_f32(
+                _ptr(chw, ctypes.c_float),
+                ctypes.cast(base, ctypes.POINTER(ctypes.c_float)),
+                _I64(C), _I64(H), _I64(W), _I64(dstC))
+        else:
+            lib.f32_chw_to_hwc_slab_bf16(
+                _ptr(chw, ctypes.c_float),
+                ctypes.cast(base, ctypes.POINTER(ctypes.c_uint16)),
+                _I64(C), _I64(H), _I64(W), _I64(dstC))
+        return True
+    return False

@@ -76,3 +76,67 @@ void f32_chw_to_hwc(const float* src, float* dst,
 }
 
 }  // extern "C"
+
+
+// --------------------------------------------------------------------- //
+// Slab writers: one pass from a CHW frame directly into a batch slab row
+// [H, W, dstC] at channel offset (caller passes dst already offset), so
+// batch assembly needs NO stack/concatenate/astype passes. Radiometry for
+// uint16 DN sources is a 65536-entry lookup table built in Python — exact
+// to the numpy reference (including bf16 round-to-nearest-even, since the
+// bf16 LUT entries are produced by ml_dtypes), and the kernel itself does
+// no float math at all for the LUT paths.
+// --------------------------------------------------------------------- //
+
+template <typename SrcT, typename DstT, typename Op>
+static inline void chw_to_hwc_slab(const SrcT* src, DstT* dst,
+                                   int64_t C, int64_t HW, int64_t dstC,
+                                   Op op) {
+    constexpr int64_t BP = 256;
+#pragma omp parallel for schedule(static)
+    for (int64_t p0 = 0; p0 < HW; p0 += BP) {
+        const int64_t n = (p0 + BP <= HW) ? BP : (HW - p0);
+        for (int64_t c = 0; c < C; ++c) {
+            const SrcT* in = src + c * HW + p0;
+            DstT* out = dst + p0 * dstC + c;
+            for (int64_t i = 0; i < n; ++i) out[i * dstC] = op(in[i]);
+        }
+    }
+}
+
+static inline uint16_t f32_to_bf16(float f) {
+    uint32_t x;
+    __builtin_memcpy(&x, &f, 4);
+    // round to nearest even (inputs are pre-sanitized; no NaN handling)
+    x += 0x7fffu + ((x >> 16) & 1u);
+    return (uint16_t)(x >> 16);
+}
+
+extern "C" {
+
+void u16_lut_chw_to_hwc_slab_f32(const uint16_t* src, const float* lut,
+                                 float* dst, int64_t C, int64_t H,
+                                 int64_t W, int64_t dstC) {
+    chw_to_hwc_slab(src, dst, C, H * W, dstC,
+                    [lut](uint16_t v) { return lut[v]; });
+}
+
+void u16_lut_chw_to_hwc_slab_u16(const uint16_t* src, const uint16_t* lut,
+                                 uint16_t* dst, int64_t C, int64_t H,
+                                 int64_t W, int64_t dstC) {
+    chw_to_hwc_slab(src, dst, C, H * W, dstC,
+                    [lut](uint16_t v) { return lut[v]; });
+}
+
+void f32_chw_to_hwc_slab_f32(const float* src, float* dst, int64_t C,
+                             int64_t H, int64_t W, int64_t dstC) {
+    chw_to_hwc_slab(src, dst, C, H * W, dstC, [](float v) { return v; });
+}
+
+void f32_chw_to_hwc_slab_bf16(const float* src, uint16_t* dst, int64_t C,
+                              int64_t H, int64_t W, int64_t dstC) {
+    chw_to_hwc_slab(src, dst, C, H * W, dstC,
+                    [](float v) { return f32_to_bf16(v); });
+}
+
+}  // extern "C"
