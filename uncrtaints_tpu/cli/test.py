@@ -75,7 +75,13 @@ def main(cfg: Config) -> dict:
         _, _, dt_test = build_datasets(cfg)
         dt_test = Subset(dt_test, range(0, min(cfg.max_samples_count,
                                                len(dt_test))))
-    collate = collate_mono if cfg.pretrain else collate_multi
+    if cfg.pretrain:
+        collate = collate_mono
+    elif cfg.fast_collate:
+        from uncrtaints_tpu.data.pipeline import make_fast_collate
+        collate = make_fast_collate()  # exact; auto-falls back sans native
+    else:
+        collate = collate_multi
     test_loader = BatchLoader(dt_test, batch_size=cfg.batch_size,
                               shuffle=False, collate=collate,
                               use_sar=cfg.use_sar,

@@ -136,7 +136,13 @@ def main(cfg: Config) -> dict:
     per_host_bs = cfg.batch_size // n_hosts
     host_shard = (host, n_hosts) if n_hosts > 1 else None
 
-    collate = collate_mono if cfg.pretrain else collate_multi
+    if cfg.pretrain:
+        collate = collate_mono
+    elif cfg.fast_collate:
+        from uncrtaints_tpu.data.pipeline import make_fast_collate
+        collate = make_fast_collate()  # exact; auto-falls back sans native
+    else:
+        collate = collate_multi
     mk_loader = lambda ds, shuffle, seed: BatchLoader(
         ds, batch_size=per_host_bs, shuffle=shuffle, seed=seed,
         collate=collate, use_sar=cfg.use_sar,

@@ -145,6 +145,10 @@ class Config:
                                          # or pass cloud_cloudshadow_mask for
                                          # the on-device threshold detector
     synthetic_data: bool = False         # use the synthetic data source (tests/bench)
+    fast_collate: bool = True            # single-pass native batch assembly
+                                         # (exact numerics; auto-falls back
+                                         # to the numpy collate when the
+                                         # native lib or uniform T is absent)
     remat: bool = False                  # rematerialize conv blocks (memory<->FLOPs)
     prng_impl: str = "threefry2x32"      # dropout-noise PRNG: threefry2x32|rbg
                                          # (rbg is the TPU-native fast
@@ -292,6 +296,9 @@ def create_parser(mode: str = "train") -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", dest="synthetic_data", action="store_true")
     p.add_argument("--remat", dest="remat", action="store_true",
                    help="rematerialize conv blocks to cut activation memory")
+    p.add_argument("--no_fast_collate", dest="fast_collate",
+                   action="store_false",
+                   help="disable the single-pass native batch assembly")
     p.add_argument("--fused_eval", default=d.fused_eval, type=str,
                    choices=["auto", "on", "off"],
                    help="Pallas-fused eval MBConv path (experimental; "

@@ -92,12 +92,14 @@ def make_fast_collate(method: str = "default", x_dtype=np.float32):
     collate_multi when the native library is unavailable."""
     def collate(samples, use_sar: bool = True) -> Dict[str, np.ndarray]:
         from uncrtaints_tpu import native
-        if not native.available():
-            return collate_multi(_decode_raw_s2(samples, method),
-                                 use_sar=use_sar, x_dtype=x_dtype)
         B = len(samples)
         s0 = samples[0]["input"]
         T = len(s0["S2"])
+        uniform_t = all(len(s["input"]["S2"]) == T for s in samples)
+        if not native.available() or not uniform_t:
+            # variable-T batches (sample_type='variable') can't use slabs
+            return collate_multi(_decode_raw_s2(samples, method),
+                                 use_sar=use_sar, x_dtype=x_dtype)
         C2, H, W = np.asarray(s0["S2"][0]).shape
         c1 = 2 if use_sar else 0
         x = np.empty((B, T, H, W, c1 + C2), dtype=x_dtype)
