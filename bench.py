@@ -316,7 +316,8 @@ if __name__ == "__main__":
     except Exception as e:
         import os as _os
         import subprocess
-        if ("RESOURCE_EXHAUSTED" in str(e) and args.batch is None):
+        oom = "RESOURCE_EXHAUSTED" in str(e)
+        if oom and args.batch is None:
             # device-buffer exhaustion through axon is flaky: retry smaller
             # in a FRESH process (the failed attempt's buffers are not
             # reliably reclaimed in-process through the tunnel)
@@ -327,10 +328,14 @@ if __name__ == "__main__":
             if args.train:
                 cmd.append("--train")
             sys.exit(subprocess.run(cmd).returncode)
-        if _os.environ.get("UNCR_AGG_KERNEL") != "0":
+        if (not oom and _os.environ.get("UNCR_AGG_KERNEL") != "0"
+                and _os.environ.get("UNCR_DW_GW") != "1"):
             # the fused aggregation kernel is default-on for TPU eval but
-            # Mosaic-compiled only at runtime; if anything non-OOM breaks,
-            # record a number on the XLA fallback path rather than nothing
+            # Mosaic-compiled only at runtime; if something non-OOM breaks,
+            # record a number on the XLA fallback path rather than nothing.
+            # Not taken for OOM (the kernel is never the cause) nor under
+            # UNCR_DW_GW=1 (an A/B arm failure should be recorded as such,
+            # not retried with the experiment flag still inherited).
             sys.stderr.write(f"bench failed ({type(e).__name__}: {e}); "
                              f"retrying once with UNCR_AGG_KERNEL=0\n")
             env = dict(_os.environ, UNCR_AGG_KERNEL="0")

@@ -156,11 +156,8 @@ def test_two_real_processes_end_to_end():
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
 
-    def env_for(pid):
+    def env_for(pid, port):
         return {
             "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
             "HOME": os.environ.get("HOME", "/root"),
@@ -171,19 +168,41 @@ def test_two_real_processes_end_to_end():
             "PROCESS_ID": str(pid),
         }
 
-    procs = [subprocess.Popen(
-        [os.sys.executable, os.path.join(repo, "tests", "_multiproc_child.py")],
-        env=env_for(i), cwd=repo, text=True,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for i in range(2)]
+    def attempt():
+        # bind-then-close port pick is racy (another process can grab it
+        # before the jax coordinator binds); the caller retries on a
+        # bind failure with a fresh port
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [os.sys.executable,
+             os.path.join(repo, "tests", "_multiproc_child.py")],
+            env=env_for(i, port), cwd=repo, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for i in range(2)]
+        results = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=280)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            results.append((p.returncode, out, err))
+        return results
+
+    for retry in range(3):
+        results = attempt()
+        bind_race = any(rc != 0 and ("in use" in err.lower()
+                                     or "bind" in err.lower())
+                        for rc, _, err in results)
+        if not bind_race:
+            break
+
     outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=280)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, err[-2000:]
+    for rc, out, err in results:
+        assert rc == 0, err[-2000:]
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
         assert line, out
         outs.append(json.loads(line[-1][len("RESULT "):]))

@@ -142,3 +142,32 @@ def test_hdf5_raw_s2_roundtrip(tmp_path, rng):
     ref = mk(ds_ref, collate_multi)
     for k in ("x", "y", "dates", "masks"):
         np.testing.assert_array_equal(fast[k], ref[k])
+
+
+def test_fast_collate_guard_rails(rng):
+    """The raw-DN method marker mismatch raises (wrong radiometry would be
+    silent otherwise); unsupported frame dtypes fall back to the generic
+    numpy path instead of feeding uninitialized slab memory."""
+    from uncrtaints_tpu.data.pipeline import make_fast_collate
+
+    def sample(s2_dtype=np.uint16, marker=None):
+        inp = {"S1": [np.zeros((2, 8, 8), np.float32)],
+               "S2": [np.full((13, 8, 8), 5000, s2_dtype)],
+               "masks": [np.zeros((8, 8), np.float32)],
+               "S1 TD": [1], "S2 TD": [1]}
+        if marker:
+            inp["rescale_method"] = marker
+        return {"input": inp,
+                "target": {"S2": [np.full((13, 8, 8), 5000, s2_dtype)]}}
+
+    import pytest
+    with pytest.raises(ValueError, match="rescale_method"):
+        make_fast_collate(method="default")([sample(marker="resnet")],
+                                            use_sar=True)
+    b = make_fast_collate(method="resnet")([sample(marker="resnet")],
+                                           use_sar=True)
+    assert abs(float(b["x"][0, 0, 0, 0, 2]) - 2.5) < 1e-6   # 5000/2000
+    # float64 'processed' frames: generic fallback, values passed through
+    b64 = make_fast_collate()([sample(s2_dtype=np.float64)], use_sar=True)
+    assert b64["x"].dtype == np.float32
+    assert float(b64["x"][0, 0, 0, 0, 2]) == 5000.0

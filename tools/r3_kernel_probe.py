@@ -45,23 +45,24 @@ def main():
         agg_shapes.append(((8, 3, 256, 256, 128, 16), "bench"))
         dw_shapes.append(((4, 256, 256, 128), "bench"))
 
+    agg_ok, dw_ok = True, True
     for (B, T, H, W, C, heads), tag in agg_shapes:
         x = jnp.asarray(rng.random((B, T, H, W, C)).astype(np.float32)).astype(jnp.bfloat16)
         a = jnp.asarray(rng.random((B, T, H, W, heads)).astype(np.float32)).astype(jnp.bfloat16)
-        ok &= probe(f"agg_fwd_{tag}",
-                    lambda x=x, a=a: jax.jit(att_group_aggregate)(x, a))
-        ok &= probe(f"agg_bwd_{tag}",
-                    lambda x=x, a=a: jax.jit(jax.grad(
-                        lambda x_, a_: att_group_aggregate(x_, a_)
-                        .astype(jnp.float32).sum(), argnums=(0, 1)))(x, a))
+        agg_ok &= probe(f"agg_fwd_{tag}",
+                        lambda x=x, a=a: jax.jit(att_group_aggregate)(x, a))
+        agg_ok &= probe(f"agg_bwd_{tag}",
+                        lambda x=x, a=a: jax.jit(jax.grad(
+                            lambda x_, a_: att_group_aggregate(x_, a_)
+                            .astype(jnp.float32).sum(), argnums=(0, 1)))(x, a))
 
     for (N, H, W, C), tag in dw_shapes:
         xg = jnp.asarray(rng.random((N, H, W, C)).astype(np.float32)).astype(jnp.bfloat16)
         g = jnp.asarray(rng.random((N, H, W, C)).astype(np.float32)).astype(jnp.bfloat16)
-        ok &= probe(f"dwgrad_{tag}",
-                    lambda xg=xg, g=g: jax.jit(
-                        lambda a, b: dw_kernel_grad(a, b, ((1, 1), (1, 1)),
-                                                    3, 3))(xg, g))
+        dw_ok &= probe(f"dwgrad_{tag}",
+                       lambda xg=xg, g=g: jax.jit(
+                           lambda a, b: dw_kernel_grad(a, b, ((1, 1), (1, 1)),
+                                                       3, 3))(xg, g))
 
     # numerics on hardware (small shape): kernel vs XLA reference
     B, T, H, W, C, heads = 2, 3, 32, 32, 128, 16
@@ -74,9 +75,14 @@ def main():
     err = float(np.abs(got - refc).max())
     print(json.dumps({"probe": "agg_numerics_tpu", "ok": err < 1e-4,
                       "max_abs_err": err}))
-    ok &= err < 1e-4
+    agg_ok &= err < 1e-4
 
-    sys.exit(0 if ok else 1)
+    # per-kernel verdicts so the campaign can gate ONLY what failed (the
+    # dw-grad kernel is off-by-default; its failure must not disable the
+    # default-on aggregation kernel for the headline bench)
+    print(json.dumps({"summary": True, "agg_ok": bool(agg_ok),
+                      "dwgrad_ok": bool(dw_ok)}))
+    sys.exit(0 if (agg_ok and dw_ok) else 1)
 
 
 if __name__ == "__main__":

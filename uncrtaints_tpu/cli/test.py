@@ -75,13 +75,8 @@ def main(cfg: Config) -> dict:
         _, _, dt_test = build_datasets(cfg)
         dt_test = Subset(dt_test, range(0, min(cfg.max_samples_count,
                                                len(dt_test))))
-    if cfg.pretrain:
-        collate = collate_mono
-    elif cfg.fast_collate:
-        from uncrtaints_tpu.data.pipeline import make_fast_collate
-        collate = make_fast_collate()  # exact; auto-falls back sans native
-    else:
-        collate = collate_multi
+    from uncrtaints_tpu.data.pipeline import select_collate
+    collate = select_collate(cfg)
     test_loader = BatchLoader(dt_test, batch_size=cfg.batch_size,
                               shuffle=False, collate=collate,
                               use_sar=cfg.use_sar,

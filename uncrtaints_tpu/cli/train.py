@@ -136,13 +136,8 @@ def main(cfg: Config) -> dict:
     per_host_bs = cfg.batch_size // n_hosts
     host_shard = (host, n_hosts) if n_hosts > 1 else None
 
-    if cfg.pretrain:
-        collate = collate_mono
-    elif cfg.fast_collate:
-        from uncrtaints_tpu.data.pipeline import make_fast_collate
-        collate = make_fast_collate()  # exact; auto-falls back sans native
-    else:
-        collate = collate_multi
+    from uncrtaints_tpu.data.pipeline import select_collate
+    collate = select_collate(cfg)
     mk_loader = lambda ds, shuffle, seed: BatchLoader(
         ds, batch_size=per_host_bs, shuffle=shuffle, seed=seed,
         collate=collate, use_sar=cfg.use_sar,

@@ -42,6 +42,9 @@ NO_OVERWRITE_TEST = [
     "pid", "device", "resume_at", "trained_checkp", "res_dir", "weight_folder",
     "root1", "root2", "root3", "max_samples_count", "batch_size", "display_step",
     "plot_every", "export_every", "input_t", "region", "min_cov", "max_cov",
+    # host-runtime knob, not a model property: --no_fast_collate at test
+    # time must win over the stored train-time conf.json
+    "fast_collate",
 ]
 
 

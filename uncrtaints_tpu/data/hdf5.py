@@ -126,10 +126,14 @@ class HDF5SEN12MSCRTS:
         if self.raw_s2:
             s2 = g["S2"][sel]                      # uint16 DN, LUT collate
             tg_s2 = g["S2"][cloudless_idx]
+            # the collate applies the radiometry; it must be built with the
+            # SAME method (make_fast_collate validates this marker)
+            raw_method = self.method
         else:
             s2 = process_MS(g["S2"][sel].astype(np.float32), self.method)
             tg_s2 = process_MS(g["S2"][cloudless_idx].astype(np.float32),
                                self.method)
+            raw_method = None
         masks = g["masks"][sel].astype(np.float32)
         tg_s1 = g["S1"][cloudless_idx].astype(np.float32)
         tg_mask = g["masks"][cloudless_idx].astype(np.float32)
@@ -141,7 +145,9 @@ class HDF5SEN12MSCRTS:
                       "coverage": [coverage[i] for i in sel],
                       "S1 TD": [int(s1_td[i]) for i in sel],
                       "S2 TD": [int(s2_td[i]) for i in sel],
-                      "S1 path": [], "S2 path": [], "idx": sel, "coord": []},
+                      "S1 path": [], "S2 path": [], "idx": sel, "coord": [],
+                      **({"rescale_method": raw_method}
+                         if raw_method is not None else {})},
             "target": {"S1": [tg_s1], "S2": [tg_s2], "masks": [tg_mask],
                        "coverage": [coverage[cloudless_idx]],
                        "S1 TD": [int(s1_td[cloudless_idx])],

@@ -90,16 +90,37 @@ def make_fast_collate(method: str = "default", x_dtype=np.float32):
     Accepts both already-processed fp32 S2 frames (plain layout copy) and
     raw uint16 DN frames (HDF5SEN12MSCRTS(raw_s2=True)); falls back to
     collate_multi when the native library is unavailable."""
+    def _write(slab, c0, frame, what):
+        # the slab is np.empty: a silently-skipped write would feed
+        # uninitialized memory as data, so a False return here is an error
+        from uncrtaints_tpu import native
+        if not native.frame_into_slab(slab, c0, frame, method):
+            raise RuntimeError(
+                f"native slab write failed for {what} dtype={frame.dtype} "
+                f"-> slab dtype={slab.dtype} (unsupported combination)")
+
     def collate(samples, use_sar: bool = True) -> Dict[str, np.ndarray]:
         from uncrtaints_tpu import native
         B = len(samples)
         s0 = samples[0]["input"]
         T = len(s0["S2"])
         uniform_t = all(len(s["input"]["S2"]) == T for s in samples)
-        if not native.available() or not uniform_t:
-            # variable-T batches (sample_type='variable') can't use slabs
+        s2_dtype = np.asarray(s0["S2"][0]).dtype
+        supported = (np.dtype(x_dtype) in _SLAB_DTYPES
+                     and s2_dtype in (np.uint16, np.float32))
+        if not native.available() or not uniform_t or not supported:
+            # variable-T batches (sample_type='variable') and dtypes the
+            # slab writers don't handle go through the generic numpy path
             return collate_multi(_decode_raw_s2(samples, method),
                                  use_sar=use_sar, x_dtype=x_dtype)
+        # raw-DN samples carry the radiometry method they expect
+        # (HDF5SEN12MSCRTS(raw_s2=True)); a mismatched collate would apply
+        # the wrong rescale with no other symptom
+        marker = s0.get("rescale_method")
+        if marker is not None and marker != method:
+            raise ValueError(
+                f"raw samples expect rescale_method={marker!r} but this "
+                f"collate was built with method={method!r}")
         C2, H, W = np.asarray(s0["S2"][0]).shape
         c1 = 2 if use_sar else 0
         x = np.empty((B, T, H, W, c1 + C2), dtype=x_dtype)
@@ -109,15 +130,12 @@ def make_fast_collate(method: str = "default", x_dtype=np.float32):
             inp = s["input"]
             for t in range(T):
                 if use_sar:
-                    native.frame_into_slab(
-                        x[b, t], 0,
-                        np.ascontiguousarray(inp["S1"][t], np.float32),
-                        method)
-                native.frame_into_slab(
-                    x[b, t], c1, np.ascontiguousarray(inp["S2"][t]), method)
-            native.frame_into_slab(
-                y[b, 0], 0, np.ascontiguousarray(s["target"]["S2"][0]),
-                method)
+                    _write(x[b, t], 0,
+                           np.ascontiguousarray(inp["S1"][t], np.float32),
+                           "S1")
+                _write(x[b, t], c1, np.ascontiguousarray(inp["S2"][t]), "S2")
+            _write(y[b, 0], 0, np.ascontiguousarray(s["target"]["S2"][0]),
+                   "target S2")
             s1_td = np.asarray(inp["S1 TD"], np.float32)
             s2_td = np.asarray(inp["S2 TD"], np.float32)
             dates.append((s1_td + s2_td) / 2.0 if use_sar else s2_td)
@@ -125,6 +143,28 @@ def make_fast_collate(method: str = "default", x_dtype=np.float32):
         return {"x": x, "y": y, "dates": np.stack(dates).astype(np.float32),
                 "masks": np.stack(masks)}
     return collate
+
+
+def _slab_dtypes():
+    try:
+        from ml_dtypes import bfloat16
+        return {np.dtype(np.float32), np.dtype(bfloat16)}
+    except ImportError:
+        return {np.dtype(np.float32)}
+
+
+_SLAB_DTYPES = _slab_dtypes()
+
+
+def select_collate(cfg):
+    """The CLIs' collate policy in one place: mono for pretrain, the
+    single-pass native collate by default (exact numerics, auto-fallback),
+    the generic numpy collate with --no_fast_collate."""
+    if cfg.pretrain:
+        return collate_mono
+    if getattr(cfg, "fast_collate", False):
+        return make_fast_collate()
+    return collate_multi
 
 
 def collate_mono(samples, use_sar: bool = True) -> Dict[str, np.ndarray]:

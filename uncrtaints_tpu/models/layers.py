@@ -93,10 +93,14 @@ def _use_pallas_dw_gw() -> bool:
     XLA tap form re-reads x/g several times (~40 ms/step of per-channel
     reduction fusions in the round-3 train profile); the kernel reads g
     once and x kw times. Off until measured on hardware (tools/r3_sweep.py,
-    UNCR_DW_GW=1). Multi-chip safe: dispatches through
-    dw_kernel_grad_sharded, whose custom_partitioning rule runs the kernel
-    on each batch shard and psums the [kh,kw,1,C] partials instead of
-    letting GSPMD all-gather the full padded activations."""
+    UNCR_DW_GW=1). Batch-sharded (dp) meshes are efficient: the
+    custom_partitioning rule in dw_kernel_grad_sharded runs the kernel on
+    each batch shard and psums the [kh,kw,1,C] partials. SPATIALLY sharded
+    callers (dp x sp whole-scene mesh) are numerically correct but costly:
+    H/W shards are force-gathered per device, because per-shard padding at
+    interior row boundaries would corrupt the cross-boundary taps — don't
+    enable this gate for spatially-sharded TRAINING (inference never takes
+    this backward path)."""
     return (os.environ.get("UNCR_DW_GW") == "1"
             and jax.default_backend() == "tpu")
 

@@ -152,9 +152,13 @@ def frame_into_slab(slab_hwc: np.ndarray, c0: int, chw: np.ndarray,
             or not slab_hwc.flags.c_contiguous:
         return False
     C, H, W = chw.shape
-    assert slab_hwc.shape[0] == H and slab_hwc.shape[1] == W
     dstC = slab_hwc.shape[-1]
-    assert c0 + C <= dstC
+    # real raises, not asserts: these guard a raw native write and must
+    # survive python -O
+    if slab_hwc.shape[0] != H or slab_hwc.shape[1] != W:
+        raise ValueError(f"slab {slab_hwc.shape} vs frame {chw.shape}")
+    if c0 + C > dstC:
+        raise ValueError(f"channels [{c0}, {c0 + C}) exceed slab dstC={dstC}")
     base = slab_hwc.ctypes.data + c0 * slab_hwc.itemsize
     is_bf16 = slab_hwc.itemsize == 2 and slab_hwc.dtype == _bf16_dtype()
     is_f32 = slab_hwc.dtype == np.float32
