@@ -268,3 +268,78 @@ def test_rbg_dropout_prng_trains():
     _, aux2 = make_train_step(cfg)(state2, batch, key)
     np.testing.assert_array_equal(np.asarray(aux1["pred"]),
                                   np.asarray(aux2["pred"]))
+
+
+def test_grad_accumulation_matches_manual_microbatching():
+    """accum_steps=2 must equal a hand-rolled reference: per-microbatch
+    gradients with sequentially-carried batch_stats, averaged, applied in
+    ONE optimizer update. (Full-batch equivalence does NOT hold for this
+    model: the out-blocks use BatchNorm, whose train-mode statistics are
+    batch-size dependent -- the standard grad-accumulation caveat.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.losses import get_loss, calc_loss
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state, make_train_step
+    from uncrtaints_tpu.train.engine import _cast_for_forward, _split_out
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=4, lr=1e-3,
+                        accum_steps=2,
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    key = jax.random.PRNGKey(0)
+    batch = {"x": jax.random.normal(key, (4, 3, 16, 16, 15)),
+             "y": jax.random.normal(jax.random.PRNGKey(9), (4, 1, 16, 16, 13)),
+             "dates": jnp.tile(jnp.arange(3.0)[None], (4, 1))}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(1), batch)
+
+    # --- hand-rolled reference -----------------------------------------
+    criterion = get_loss(cfg)
+    s = cfg.scale_by
+    drng = jax.random.PRNGKey(2)
+
+    def loss_fn(params, bs, xm, ym, dm, rng):
+        fwd_params, xc = _cast_for_forward(cfg, params, s * xm)
+        out, mutated = state.apply_fn(
+            {"params": fwd_params, "batch_stats": bs}, xc,
+            batch_positions=dm, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        mean, var = _split_out(out.astype(jnp.float32), cfg)
+        loss, _ = calc_loss(criterion, cfg, mean, s * ym, var=var)
+        return loss, mutated.get("batch_stats", bs)
+
+    gfun = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    bs = state.batch_stats
+    gsum, losses = None, []
+    for i in range(2):
+        sl = slice(2 * i, 2 * i + 2)
+        (loss, bs), g = gfun(state.params, bs, batch["x"][sl], batch["y"][sl],
+                             batch["dates"][sl], jax.random.fold_in(drng, i))
+        losses.append(float(loss))
+        gsum = g if gsum is None else jax.tree.map(jnp.add, gsum, g)
+    grads = jax.tree.map(lambda v: v / 2.0, gsum)
+    updates, _ = state.tx.update(grads, state.opt_state, state.params)
+    ref_params = optax.apply_updates(state.params, updates)
+    ref_loss = float(np.mean(losses))
+
+    # --- engine --------------------------------------------------------
+    st2, aux = make_train_step(cfg)(state, dict(batch), drng)
+    np.testing.assert_allclose(float(aux["loss"]), ref_loss, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st2.params), jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # batch_stats carried sequentially, same values
+    for a, b in zip(jax.tree.leaves(st2.batch_stats), jax.tree.leaves(bs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accumulation_rejects_indivisible_batch():
+    import pytest
+    from uncrtaints_tpu.config import Config, derive
+    with pytest.raises(ValueError, match="divisible"):
+        derive(Config(batch_size=5, accum_steps=2))

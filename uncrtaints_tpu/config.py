@@ -153,6 +153,10 @@ class Config:
                                          # to the numpy collate when the
                                          # native lib or uniform T is absent)
     remat: bool = False                  # rematerialize conv blocks (memory<->FLOPs)
+    accum_steps: int = 1                 # gradient accumulation: split the
+                                         # batch into this many microbatches
+                                         # (lax.scan), one optimizer update
+                                         # on the mean gradient
     prng_impl: str = "threefry2x32"      # dropout-noise PRNG: threefry2x32|rbg
                                          # (rbg is the TPU-native fast
                                          # generator; dropout statistics only,
@@ -302,6 +306,9 @@ def create_parser(mode: str = "train") -> argparse.ArgumentParser:
     p.add_argument("--no_fast_collate", dest="fast_collate",
                    action="store_false",
                    help="disable the single-pass native batch assembly")
+    p.add_argument("--accum_steps", default=d.accum_steps, type=int,
+                   help="gradient-accumulation microbatches per step "
+                        "(batch_size must be divisible)")
     p.add_argument("--fused_eval", default=d.fused_eval, type=str,
                    choices=["auto", "on", "off"],
                    help="Pallas-fused eval MBConv path (experimental; "
@@ -328,6 +335,10 @@ def derive(cfg: Config) -> Config:
         decoder_widths=_parse_int_list(cfg.decoder_widths),
         out_conv=_parse_int_list(cfg.out_conv),
     )
+
+    if cfg.accum_steps > 1 and cfg.batch_size % cfg.accum_steps:
+        raise ValueError(f"batch_size {cfg.batch_size} must be divisible by "
+                         f"accum_steps {cfg.accum_steps}")
 
     if cfg.model in ("unet", "utae"):
         assert len(cfg.encoder_widths) == len(cfg.decoder_widths), (

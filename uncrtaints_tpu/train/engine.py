@@ -125,9 +125,24 @@ def make_train_step(cfg: Config) -> Callable:
     x [B,T,H,W,C], y [B,1,H,W,13], dates [B,T] or None, masks (unused here).
 
     Returns (new_state, aux) with aux = {loss, pred, var} where pred/var are
-    already rescaled back to data units (scale_by protocol)."""
+    already rescaled back to data units (scale_by protocol).
+
+    ``cfg.accum_steps > 1`` enables gradient accumulation: the batch is
+    split into that many microbatches, a ``lax.scan`` accumulates fp32
+    gradients (activation memory shrinks by the same factor), and ONE
+    optimizer update applies their mean, so large effective batches fit a
+    single chip. For models without batch-dependent normalization this is
+    the full-batch gradient exactly (batch-mean loss over equal-sized
+    microbatches); with BatchNorm (UNCRTAINTS out-blocks, UNet/UTAE) the
+    train-mode statistics see microbatch-sized batches and running stats
+    update sequentially per microbatch — the standard grad-accumulation
+    caveat (tests/test_engine.py pins the exact semantics against a
+    hand-rolled reference)."""
     criterion = get_loss(cfg)
     s = cfg.scale_by
+    k = max(1, int(getattr(cfg, "accum_steps", 1) or 1))
+    if k > 1:
+        return _make_accum_train_step(cfg, criterion, s, k)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, dropout_rng) -> Tuple[TrainState, Dict]:
@@ -163,6 +178,71 @@ def make_train_step(cfg: Config) -> Callable:
         aux = {"loss": loss, "pred": mean / s}
         if variance is not None:
             aux["var"] = variance / (s * s)
+        return new_state, aux
+
+    return train_step
+
+
+def _make_accum_train_step(cfg: Config, criterion, s: float, k: int):
+    """Gradient-accumulation variant of the train step (see make_train_step)."""
+    has_var = cfg.loss in ("GNLL", "MGNLL")  # scan can't stack None leaves
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, dropout_rng) -> Tuple[TrainState, Dict]:
+        B = batch["x"].shape[0]
+        if B % k:
+            raise ValueError(f"batch {B} not divisible by accum_steps {k}")
+        m = B // k
+        x = (s * batch["x"].astype(jnp.float32)).reshape(
+            (k, m) + batch["x"].shape[1:])
+        y = (s * batch["y"]).reshape((k, m) + batch["y"].shape[1:])
+        dates = batch.get("dates")
+        dates = (jnp.zeros((k, m, 1), jnp.float32) if dates is None
+                 else dates.reshape((k, m) + dates.shape[1:]))
+        has_dates = batch.get("dates") is not None
+
+        def loss_fn(params, bs, xm, ym, dm, rng):
+            fwd_params, xc = _cast_for_forward(cfg, params, xm)
+            variables = {"params": fwd_params, "batch_stats": bs}
+            out, mutated = state.apply_fn(
+                variables, xc, batch_positions=dm if has_dates else None,
+                train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+            mean, var = _split_out(out.astype(jnp.float32), cfg)
+            loss, variance = calc_loss(criterion, cfg, mean, ym, var=var)
+            if not has_var:
+                variance = jnp.zeros((), jnp.float32)
+            return loss, (mutated.get("batch_stats", bs), mean, variance)
+
+        def body(carry, inp):
+            bs, gsum, i = carry
+            xm, ym, dm = inp
+            rng = jax.random.fold_in(dropout_rng, i)
+            (loss, (bs, mean, variance)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, bs, xm, ym, dm, rng)
+            gsum = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), gsum, grads)
+            return (bs, gsum, i + 1), (loss, mean, variance)
+
+        gsum0 = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (new_bs, gsum, _), (losses, means, variances) = jax.lax.scan(
+            body, (state.batch_stats, gsum0, jnp.zeros((), jnp.int32)),
+            (x, y, dates))
+
+        grads = jax.tree.map(
+            lambda g, p: (g / k).astype(p.dtype), gsum, state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        if state.freeze_mask is not None:
+            updates = jax.tree.map(lambda u, mk: u * mk, updates,
+                                   state.freeze_mask)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        mean_full = means.reshape((B,) + means.shape[2:])
+        aux = {"loss": losses.mean(), "pred": mean_full / s}
+        if has_var:
+            aux["var"] = variances.reshape((B,) + variances.shape[2:]) / (s * s)
         return new_state, aux
 
     return train_step
