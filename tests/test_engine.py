@@ -343,3 +343,34 @@ def test_grad_accumulation_rejects_indivisible_batch():
     from uncrtaints_tpu.config import Config, derive
     with pytest.raises(ValueError, match="divisible"):
         derive(Config(batch_size=5, accum_steps=2))
+
+
+def test_grad_accumulation_on_data_mesh():
+    """accum_steps under the 8-device data mesh: each microbatch stays
+    batch-sharded through the scan; the step runs and returns finite loss
+    with params still replicated."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.parallel import make_mesh, replicated_sharding
+    from uncrtaints_tpu.train import create_train_state, make_train_step
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=16, lr=1e-3,
+                        accum_steps=2,
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    mesh = make_mesh(8)
+    bsh = NamedSharding(mesh, P("data"))
+    key = jax.random.PRNGKey(0)
+    batch = {"x": jax.device_put(jax.random.normal(key, (16, 3, 16, 16, 15)), bsh),
+             "y": jax.device_put(jnp.zeros((16, 1, 16, 16, 13)), bsh),
+             "dates": jax.device_put(jnp.tile(jnp.arange(3.0)[None], (16, 1)), bsh)}
+    state = create_train_state(cfg, model, key, batch)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    st2, aux = make_train_step(cfg)(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(aux["loss"]))
+    assert aux["pred"].shape[0] == 16
