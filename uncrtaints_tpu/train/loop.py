@@ -150,6 +150,21 @@ def _device_batch(batch: Dict, sharding=None) -> Dict:
     return out
 
 
+def _device_prefetch(loader, sharding, depth: int = 2):
+    """Yield (host_batch, device_batch) one batch AHEAD of consumption:
+    jax device transfers are asynchronous, so enqueueing batch i+1's
+    host->device copy before batch i's step is consumed overlaps H2D with
+    compute (the jit analogue of flax's prefetch_to_device for pmap)."""
+    from collections import deque
+    q = deque()
+    for batch in loader:
+        q.append((batch, _device_batch(batch, sharding)))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def iterate(state, loader, cfg: Config, writer: Optional[Writer],
             mode: str, epoch: int, train_step=None, eval_step=None,
             base_rng: Optional[jax.Array] = None, batch_sharding=None) -> Tuple:
@@ -168,17 +183,21 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
     n_seen = 0
 
     t_start = time.time()
-    for i, batch in enumerate(loader):
-        dev = _device_batch(batch, batch_sharding)
+    for i, (batch, dev) in enumerate(_device_prefetch(loader, batch_sharding)):
         step = (epoch - 1) * len(loader) + i
 
         if mode == "train":
             state, aux = train_step(state, dev, jax.random.fold_in(base_rng, step))
-            loss = float(aux["loss"])
+            # keep the loss ON DEVICE: a float() here would sync the host
+            # to the device every step (one dispatch round-trip per step —
+            # especially costly through a remote-tunnel runtime); steps
+            # dispatch back-to-back and the scalars are fetched at the
+            # display cadence / epoch end
+            loss = aux["loss"]
             if writer is not None and step % cfg.display_step == 0:
                 pred = _to_host(aux["pred"])
                 var = _to_host(aux["var"]) if "var" in aux else None
-                log_train(writer, cfg, step, batch, pred, loss, var=var)
+                log_train(writer, cfg, step, batch, pred, float(loss), var=var)
         else:
             aux = eval_step(state, dev)
             loss = float(aux["loss"])
@@ -243,6 +262,8 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
 
         losses.append(loss)
 
+    # one sync for the whole epoch's train-loss scalars
+    losses = [float(l) for l in losses]
     total_time = time.time() - t_start
     print(f"Epoch time : {total_time:.1f}s")
     metrics = {f"{mode}_epoch_time": total_time,
