@@ -180,6 +180,7 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
     img_meter = AvgImgMetrics()
     losses = []
     errs, errs_se, errs_ae, vars_aleatoric = [], [], [], []
+    deferred_bm = []  # per-batch device metric vectors, fetched at epoch end
     n_seen = 0
 
     t_start = time.time()
@@ -200,7 +201,7 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
                 log_train(writer, cfg, step, batch, pred, float(loss), var=var)
         else:
             aux = eval_step(state, dev)
-            loss = float(aux["loss"])
+            loss = aux["loss"]  # stays on device (fetched at epoch end)
             y = batch["y"]
             B = y.shape[0]
             # whole-batch metrics in ONE jitted call; pred/var stay on
@@ -212,19 +213,13 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
             # devices; _to_host allgathers them (img_metrics_batch returns
             # raw jax arrays for exactly this reason). batch["y"] is this
             # host's slice, so index global rows at the sharding-derived
-            # offset.
+            # offset. The fetch is DEFERRED to epoch end so eval steps
+            # dispatch back-to-back (no per-batch host<->device sync);
+            # only the sparse plot/export cadence forces a mid-epoch fetch.
             off = _host_row_offset(aux["pred"], B)
-            bm = {k: _to_host(v) for k, v in bm.items()}
+            deferred_bm.append((B, off, bm))
             pred = var = None  # host copies, materialized lazily below
             for bdx in range(B):
-                em = {k: float(v[off + bdx]) for k, v in bm.items()}
-                if has_var:
-                    vars_aleatoric.append(em["mean var"])
-                    errs.append(em["error"])
-                    errs_se.append(em["mean se"])
-                    errs_ae.append(em["mean ae"])
-                img_meter.add(em)
-
                 idx = i * B + bdx
                 need_host = (
                     (cfg.plot_every > 0 and idx % cfg.plot_every == 0)
@@ -262,8 +257,20 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
 
         losses.append(loss)
 
-    # one sync for the whole epoch's train-loss scalars
+    # one sync for the whole epoch's loss scalars and metric vectors (the
+    # device has the full epoch queued; these fetches drain it once)
     losses = [float(l) for l in losses]
+    has_var_epoch = cfg.loss in ("GNLL", "MGNLL")
+    for B, off, bm in deferred_bm:
+        bm = {k: _to_host(v) for k, v in bm.items()}
+        for bdx in range(B):
+            em = {k: float(v[off + bdx]) for k, v in bm.items()}
+            if has_var_epoch and "mean var" in em:
+                vars_aleatoric.append(em["mean var"])
+                errs.append(em["error"])
+                errs_se.append(em["mean se"])
+                errs_ae.append(em["mean ae"])
+            img_meter.add(em)
     total_time = time.time() - t_start
     print(f"Epoch time : {total_time:.1f}s")
     metrics = {f"{mode}_epoch_time": total_time,
