@@ -374,3 +374,42 @@ def test_grad_accumulation_on_data_mesh():
     st2, aux = make_train_step(cfg)(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(aux["loss"]))
     assert aux["pred"].shape[0] == 16
+
+
+def test_fused_metrics_and_donation_match_separate_call():
+    """make_eval_step(with_metrics=True, donate_batch=True): fused metric
+    vectors equal the separate img_metrics_batch call; donated batches are
+    consumed safely when each device batch is used once."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.metrics.image import img_metrics_batch
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state, make_eval_step
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=2, lr=1e-3,
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    key = jax.random.PRNGKey(0)
+    mk = lambda: {"x": jax.random.normal(key, (2, 3, 16, 16, 15)),
+                  "y": jax.random.normal(jax.random.PRNGKey(9),
+                                         (2, 1, 16, 16, 13)),
+                  "dates": jnp.tile(jnp.arange(3.0)[None], (2, 1))}
+    state = create_train_state(cfg, model, key, mk())
+
+    plain = make_eval_step(cfg)
+    fused = make_eval_step(cfg, with_metrics=True, donate_batch=True)
+
+    aux_p = plain(state, mk())
+    bm_ref = img_metrics_batch(jnp.asarray(mk()["y"]), aux_p["pred"],
+                               var=aux_p["var"])
+    aux_f = fused(state, mk())          # donates its own fresh batch
+    assert "metrics" in aux_f
+    for k, v in aux_f["metrics"].items():
+        np.testing.assert_allclose(np.asarray(v), np.asarray(bm_ref[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    # a second fresh batch works (each donated buffer used exactly once)
+    aux_f2 = fused(state, mk())
+    assert np.isfinite(float(aux_f2["loss"]))

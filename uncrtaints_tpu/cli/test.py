@@ -96,7 +96,7 @@ def main(cfg: Config) -> dict:
                                   restore_opt=False)
     epoch = meta.get("epoch", 1)
 
-    eval_step = make_eval_step(cfg)
+    eval_step = make_eval_step(cfg, with_metrics=True, donate_batch=True)
     state, metrics, img_metrics_val = iterate(
         state, test_loader, cfg, writer, "test", epoch, eval_step=eval_step)
     print(f"Test loss {metrics['test_loss']}")

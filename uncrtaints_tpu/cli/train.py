@@ -183,7 +183,7 @@ def main(cfg: Config) -> dict:
     cfg.save_json(os.path.join(exp_dir, "conf.json"))
 
     train_step = make_train_step(cfg)
-    eval_step = make_eval_step(cfg)
+    eval_step = make_eval_step(cfg, with_metrics=True, donate_batch=True)
     base_rng = dropout_rng(cfg, cfg.rdm_seed)
 
     trainlog, best_loss = {}, float("inf")

@@ -277,13 +277,20 @@ def profile_flops(cfg: Config, state: TrainState, batch) -> Optional[float]:
         return None
 
 
-def make_eval_step(cfg: Config) -> Callable:
+def make_eval_step(cfg: Config, with_metrics: bool = False,
+                   donate_batch: bool = False) -> Callable:
     """Jitted no-grad eval step: forward + loss + rescale
-    (the reference's val/test branch, train_reconstruct.py:302-315)."""
+    (the reference's val/test branch, train_reconstruct.py:302-315).
+
+    ``with_metrics`` fuses the whole-batch image metrics into the SAME
+    program (aux['metrics'] = {name: [B]}), so an eval epoch is one
+    dispatch per batch. ``donate_batch`` donates the input batch buffers
+    (safe iff each device batch is used exactly once, as the training
+    loop's prefetcher guarantees; the bench reuses one batch and must NOT
+    donate)."""
     criterion = get_loss(cfg)
     s = cfg.scale_by
 
-    @jax.jit
     def eval_step(state: TrainState, batch) -> Dict:
         x = s * batch["x"].astype(jnp.float32)  # see train_step: fp32 scale
         y = s * batch["y"]
@@ -296,6 +303,10 @@ def make_eval_step(cfg: Config) -> Callable:
         aux = {"loss": loss, "pred": mean / s}
         if variance is not None:
             aux["var"] = variance / (s * s)
+        if with_metrics:
+            from uncrtaints_tpu.metrics.image import img_metrics_batch
+            aux["metrics"] = img_metrics_batch(batch["y"], aux["pred"],
+                                               var=aux.get("var"))
         return aux
 
-    return eval_step
+    return jax.jit(eval_step, donate_argnums=(1,) if donate_batch else ())

@@ -201,14 +201,20 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
                 log_train(writer, cfg, step, batch, pred, float(loss), var=var)
         else:
             aux = eval_step(state, dev)
+            # NOTE: dev must not be touched past this point — CLI-built
+            # eval steps donate the batch buffers (engine.make_eval_step)
             loss = aux["loss"]  # stays on device (fetched at epoch end)
             y = batch["y"]
             B = y.shape[0]
-            # whole-batch metrics in ONE jitted call; pred/var stay on
-            # device unless a plot/export item actually needs them
+            # whole-batch metrics: fused into the eval step when the step
+            # was built with with_metrics=True (one dispatch per batch),
+            # else one extra jitted call; pred/var stay on device unless a
+            # plot/export item actually needs them
             has_var = cfg.loss in ("GNLL", "MGNLL") and "var" in aux
-            bm = img_metrics_batch(dev["y"], aux["pred"],
-                                   var=aux["var"] if has_var else None)
+            bm = aux.get("metrics")
+            if bm is None:
+                bm = img_metrics_batch(dev["y"], aux["pred"],
+                                       var=aux["var"] if has_var else None)
             # multi-host: bm's [B_global] device arrays span non-addressable
             # devices; _to_host allgathers them (img_metrics_batch returns
             # raw jax arrays for exactly this reason). batch["y"] is this
