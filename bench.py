@@ -177,12 +177,17 @@ def main_e2e(batch_size: int = 16, n_patches: int = 64, epochs: int = 4,
         return {"x": jnp.asarray(b["x"]), "y": jnp.asarray(b["y"]),
                 "dates": jnp.asarray(b["dates"])}
 
-    first = device_batch(next(iter(loader)))
+    # collate the init/compile batch directly (an abandoned BatchLoader
+    # iterator would leave its producer thread blocked on the full prefetch
+    # queue, pinning collated batches for the process lifetime)
+    first = device_batch(collate([ds[i] for i in range(batch_size)],
+                                 use_sar=True))
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), first)
     # the REAL serving path the CLIs run: metrics fused into the step, input
-    # buffers donated (each device batch is used exactly once here)
+    # buffers donated (each device batch is used exactly once here;
+    # `first` is not read again after this compile call)
     eval_step = make_eval_step(cfg, with_metrics=True, donate_batch=True)
-    aux = eval_step(state, device_batch(next(iter(loader))))   # compile
+    aux = eval_step(state, first)   # compile
     _ = float(aux["loss"])
 
     # host-pipeline-only rate (loader saturated, no device work)

@@ -102,5 +102,26 @@ def test_export_pinned_batch_rejects_other_sizes(tiny, tmp_path):
     out = exp.call(batch["x"], batch["dates"])
     assert out["pred"].shape == (2, 1, 32, 32, 13)
     T, C = cfg.input_t, input_dim(cfg)
-    with pytest.raises(Exception):
+    with pytest.raises(ValueError, match="Shape mismatch"):
         exp.call(jnp.zeros((3, T, 32, 32, C)), jnp.zeros((3, T)))
+
+
+def test_export_forces_portable_aggregation_path(tiny, tmp_path, monkeypatch):
+    """On a TPU host the aggregator would dispatch its Pallas kernel at
+    trace time, baking a Mosaic custom call into the artifact (breaks cpu
+    lowering and the symbolic batch dim). export_serving must force the
+    portable XLA path regardless of backend — simulated here by making the
+    aggregator's backend check claim 'tpu' during the export trace."""
+    import uncrtaints_tpu.models.aggregator as agg
+    from uncrtaints_tpu.export import export_serving
+
+    cfg, state, batch = tiny
+    monkeypatch.setattr(agg.jax, "default_backend", lambda: "tpu")
+    # without the UNCR_AGG_KERNEL=0 trace guard this would fail (the
+    # non-interpret pallas_call cannot lower for cpu)
+    exp = export_serving(state, cfg, height=32, width=32, platforms=("cpu",))
+    out = exp.call(batch["x"], batch["dates"])
+    assert out["pred"].shape == (2, 1, 32, 32, 13)
+    # and the guard must not leak into the process env
+    import os
+    assert os.environ.get("UNCR_AGG_KERNEL") is None

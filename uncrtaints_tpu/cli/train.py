@@ -154,6 +154,14 @@ def main(cfg: Config) -> dict:
     if cfg.batch_size % n_dev != 0 and n_dev > 1:
         raise ValueError(f"batch_size {cfg.batch_size} must be divisible by "
                          f"the {n_dev}-device mesh")
+    if cfg.accum_steps > 1 and n_dev > 1 \
+            and (cfg.batch_size // cfg.accum_steps) % n_dev != 0:
+        # each scanned MICROBATCH is what gets batch-sharded; an uneven
+        # split would silently reshard/pad every microbatch
+        raise ValueError(
+            f"microbatch {cfg.batch_size}//{cfg.accum_steps}="
+            f"{cfg.batch_size // cfg.accum_steps} must be divisible by "
+            f"the {n_dev}-device mesh")
     print(f"Device mesh: {n_dev} x data-parallel")
 
     # model + engine

@@ -21,6 +21,7 @@ way out); parity asserted in tests/test_export.py.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -62,6 +63,14 @@ def export_serving(state, cfg: Config, height: int = 256, width: int = 256,
 
     ``batch=None`` exports a symbolic batch dimension (any B at call time);
     an int pins it (marginally better compile-time specialization).
+
+    The trace always takes the PORTABLE XLA aggregation path: on a TPU
+    host the aggregator would otherwise dispatch its Pallas kernel at
+    trace time (models/aggregator.py), baking a Mosaic custom call into
+    the artifact — un-lowerable for the cpu platform and incompatible
+    with the symbolic batch dim through the kernel grid. Serving the XLA
+    path costs a few percent on TPU vs the kernel (BASELINE.md A/B) and
+    makes the artifact portable.
     """
     serve = make_serve_fn(state, cfg)
     T, C = cfg.input_t, input_dim(cfg)
@@ -70,7 +79,16 @@ def export_serving(state, cfg: Config, height: int = 256, width: int = 256,
             jax.ShapeDtypeStruct((b, T), jnp.float32))
     if batch is None:
         args = jexport.symbolic_args_specs(args, "b, ...")
-    return jexport.export(jax.jit(serve), platforms=tuple(platforms))(*args)
+    prev = os.environ.get("UNCR_AGG_KERNEL")
+    os.environ["UNCR_AGG_KERNEL"] = "0"  # trace-time dispatch gate
+    try:
+        return jexport.export(jax.jit(serve),
+                              platforms=tuple(platforms))(*args)
+    finally:
+        if prev is None:
+            os.environ.pop("UNCR_AGG_KERNEL", None)
+        else:
+            os.environ["UNCR_AGG_KERNEL"] = prev
 
 
 def save_serving(state, cfg: Config, path: str, **kwargs) -> str:

@@ -288,6 +288,11 @@ def make_eval_step(cfg: Config, with_metrics: bool = False,
     (safe iff each device batch is used exactly once, as the training
     loop's prefetcher guarantees; the bench reuses one batch and must NOT
     donate)."""
+    if donate_batch and not with_metrics:
+        # iterate()'s metrics fallback reads batch['y'] AFTER the step; a
+        # donated batch would be a use-after-donate on real hardware (CPU
+        # only warns, so tests cannot catch the misuse — forbid it here)
+        raise ValueError("donate_batch=True requires with_metrics=True")
     criterion = get_loss(cfg)
     s = cfg.scale_by
 

@@ -263,8 +263,16 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
 
         losses.append(loss)
 
-    # one sync for the whole epoch's loss scalars and metric vectors (the
-    # device has the full epoch queued; these fetches drain it once)
+    # drain the epoch's scalars/metric vectors: issue ALL host copies
+    # asynchronously first so the fetches overlap (sequential float() calls
+    # would pay one device round-trip each), then materialize
+    for l in losses:
+        if isinstance(l, jax.Array) and l.is_fully_addressable:
+            l.copy_to_host_async()
+    for _, _, bm in deferred_bm:
+        for v in bm.values():
+            if isinstance(v, jax.Array) and v.is_fully_addressable:
+                v.copy_to_host_async()
     losses = [float(l) for l in losses]
     has_var_epoch = cfg.loss in ("GNLL", "MGNLL")
     for B, off, bm in deferred_bm:
