@@ -134,3 +134,45 @@ def test_predict_scene_with_data_mesh():
     out = predict_scene(state_s, cfg, scene, None, tile=32, overlap=8,
                         batch_size=8, device_put_fn=lambda x: jax.device_put(x, sh))
     np.testing.assert_allclose(out["pred"], ref["pred"], rtol=2e-4, atol=2e-4)
+
+
+def test_predict_scene_from_exported_artifact(tmp_path):
+    """predict_scene(forward_fn=load_serving(path)): whole-scene inference
+    from a frozen artifact, no state/cfg — must match the live-model scene
+    prediction (same weights) to export-parity tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from uncrtaints_tpu.config import Config, derive, input_dim
+    from uncrtaints_tpu.export import load_serving, save_serving
+    from uncrtaints_tpu.infer import predict_scene
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=2, lr=1e-3,
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    T, C, tile = cfg.input_t, input_dim(cfg), 16
+    key = jax.random.PRNGKey(0)
+    init = {"x": jnp.zeros((2, T, tile, tile, C)),
+            "y": jnp.zeros((2, 1, tile, tile, 13)),
+            "dates": jnp.zeros((2, T))}
+    state = create_train_state(cfg, model, key, init)
+
+    path = str(tmp_path / "scene.uxp")
+    save_serving(state, cfg, path, height=tile, width=tile, batch=2,
+                 platforms=("cpu",))
+    serve = load_serving(path)
+
+    scene = jax.random.normal(key, (T, 24, 40, C))
+    dates = jnp.arange(float(T)) * 10.0
+    live = predict_scene(state, cfg, scene, dates, tile=tile, overlap=4,
+                         batch_size=2)
+    art = predict_scene(None, None, scene, dates, tile=tile, overlap=4,
+                        batch_size=2, forward_fn=serve)
+    assert art["pred"].shape == live["pred"].shape == (1, 24, 40, 13)
+    # bf16 policy: separately-compiled programs, bf16-noise tolerance
+    rmse = float(np.sqrt(np.mean((art["pred"] - live["pred"]) ** 2)))
+    assert rmse < 5e-3, rmse
+    assert "var" in art and art["var"].shape == (1, 24, 40, 13)

@@ -91,17 +91,23 @@ def _window_origins(size: int, tile: int, stride: int) -> list:
     return starts
 
 
-def predict_scene(state, cfg: Config, scene_x: jax.Array,
+def predict_scene(state, cfg: Optional[Config], scene_x: jax.Array,
                   dates: Optional[jax.Array] = None, *,
                   tile: int = 256, overlap: int = 64,
                   batch_size: int = 8,
-                  device_put_fn=None) -> Dict[str, np.ndarray]:
+                  device_put_fn=None,
+                  forward_fn=None) -> Dict[str, np.ndarray]:
     """Run the flagship model over an arbitrarily large scene.
 
     scene_x: [T, H, W, C] preprocessed inputs (same band layout the model
     was trained with -- value-scaled like the dataset pipeline, NOT yet
     multiplied by scale_by; the scale_by protocol is applied internally as
     in train/engine.py). dates: [T] day offsets or None.
+
+    ``forward_fn`` serves scenes from an exported artifact instead of a
+    live model: pass ``export.load_serving(path)`` (signature
+    ``fn(x[B,T,t,t,C], dates[B,T]) -> {'pred', 'var'?}``) and ``state``/
+    ``cfg`` may be None -- scene inference then needs no model code at all.
 
     Returns {"pred": [1, H, W, 13], "var": [1, H, W, 13]} numpy arrays in
     data units (var omitted for deterministic heads).
@@ -132,18 +138,29 @@ def predict_scene(state, cfg: Config, scene_x: jax.Array,
     wx = _axis_ramp(tile, overlap, len(xs))
     w2d = np.outer(wy, wx).astype(np.float32)        # [tile, tile]
 
-    mean_idx, vars_idx = mean_vars_idx(cfg)
-    has_var = vars_idx > mean_idx
-    d_batch = jnp.broadcast_to(dates[None], (batch_size, T)) \
-        if dates is not None else None
-    fwd = _scene_fwd(state.apply_fn, float(cfg.scale_by),
-                     str(cfg.compute_dtype), mean_idx, vars_idx)
+    if forward_fn is not None:
+        # exported-artifact path: dates are a fixed positional arg of the
+        # artifact, so substitute zeros when absent
+        d_batch = jnp.broadcast_to(
+            dates[None] if dates is not None else jnp.zeros((T,)),
+            (batch_size, T)).astype(jnp.float32)
 
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+        def run(xb):
+            out = forward_fn(xb, d_batch)
+            return out["pred"], out.get("var")
+    else:
+        mean_idx, vars_idx = mean_vars_idx(cfg)
+        d_batch = jnp.broadcast_to(dates[None], (batch_size, T)) \
+            if dates is not None else None
+        fwd = _scene_fwd(state.apply_fn, float(cfg.scale_by),
+                         str(cfg.compute_dtype), mean_idx, vars_idx)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        run = lambda xb: fwd(variables, xb, d_batch)
 
-    num = np.zeros((H, W, mean_idx), np.float32)
-    vnum = np.zeros((H, W, mean_idx), np.float32) if has_var else None
-    den = np.zeros((H, W, 1), np.float32)
+    # output/weight accumulators sized lazily off the first batch's output
+    # (the artifact path doesn't know the head split up front)
+    num = vnum = den = None
+    has_var = None
 
     def dispatch(b0):
         chunk = origins[b0:b0 + batch_size]
@@ -154,7 +171,7 @@ def predict_scene(state, cfg: Config, scene_x: jax.Array,
         xb = jnp.asarray(xb)
         if device_put_fn is not None:
             xb = device_put_fn(xb)
-        return chunk, fwd(variables, xb, d_batch)     # async dispatch
+        return chunk, run(xb)                         # async dispatch
 
     # one-deep pipeline: the device computes batch i+1 while the host
     # converts + blend-accumulates batch i (jax dispatch is async; a
@@ -164,6 +181,12 @@ def predict_scene(state, cfg: Config, scene_x: jax.Array,
     for b0 in starts[1:] + [None]:
         nxt = dispatch(b0) if b0 is not None else None
         chunk, (mean, var) = pending
+        if has_var is None:
+            has_var = var is not None
+            mean_idx = mean.shape[-1]
+            num = np.zeros((H, W, mean_idx), np.float32)
+            vnum = np.zeros((H, W, mean_idx), np.float32) if has_var else None
+            den = np.zeros((H, W, 1), np.float32)
         mean = np.asarray(mean)                       # [B, 1, tile, tile, 13]
         var = np.asarray(var) if has_var else None
         for i, (y, x) in enumerate(chunk):
