@@ -413,3 +413,51 @@ def test_fused_metrics_and_donation_match_separate_call():
     # a second fresh batch works (each donated buffer used exactly once)
     aux_f2 = fused(state, mk())
     assert np.isfinite(float(aux_f2["loss"]))
+
+
+def test_orbax_checkpoint_round_trip(tmp_path):
+    """ckpt_backend='orbax': async save -> durable restore reproduces the
+    full state (params, batch_stats, optimizer moments, step) and drives an
+    optax update; msgpack runs resume from orbax dirs via auto-detection."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state, make_train_step
+    from uncrtaints_tpu.train.checkpoint import (load_checkpoint,
+                                                 save_checkpoint,
+                                                 wait_for_checkpoints)
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=2, lr=1e-3,
+                        ckpt_backend="orbax",
+                        res_dir=str(tmp_path), experiment_name="orb",
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    key = jax.random.PRNGKey(0)
+    batch = {"x": jax.random.normal(key, (2, 3, 16, 16, 15)),
+             "y": jnp.zeros((2, 1, 16, 16, 13)),
+             "dates": jnp.tile(jnp.arange(3.0)[None], (2, 1))}
+    state = create_train_state(cfg, model, key, batch)
+    state, _ = make_train_step(cfg)(state, dict(batch), jax.random.PRNGKey(1))
+
+    path = save_checkpoint(cfg, epoch=1, state=state, name="model", lr=1e-3)
+    assert path.endswith("model.orbax")
+    wait_for_checkpoints()
+    import os
+    assert os.path.isdir(path)
+
+    fresh = create_train_state(cfg, model, jax.random.PRNGKey(42), batch)
+    restored, meta = load_checkpoint(cfg, cfg.res_dir, fresh, "model")
+    assert meta["epoch"] == 1 and int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.opt_state),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored optimizer state must drive a further step
+    st2, aux = make_train_step(cfg)(restored, dict(batch),
+                                    jax.random.PRNGKey(2))
+    assert np.isfinite(float(aux["loss"]))

@@ -255,8 +255,10 @@ def main(cfg: Config) -> dict:
     # test the best checkpoint (fall back to the last epoch if validation
     # never ran and no best-on-val checkpoint exists)
     print("Testing best epoch . . .")
-    best_path = os.path.join(exp_dir, "model.ckpt")
-    best_name = "model" if os.path.exists(best_path) else f"model_epoch_{cfg.epochs}"
+    best_name = "model" if (
+        os.path.exists(os.path.join(exp_dir, "model.ckpt"))
+        or os.path.isdir(os.path.join(exp_dir, "model.orbax"))
+    ) else f"model_epoch_{cfg.epochs}"
     state, _ = load_checkpoint(cfg, cfg.res_dir, state, best_name)
     state, test_metrics, test_img_metrics = iterate(
         state, test_loader, cfg, writer, "test", cfg.epochs,
@@ -265,6 +267,8 @@ def main(cfg: Config) -> dict:
     print(f"Test image metrics: {test_img_metrics}")
     save_results(test_img_metrics, exp_dir, split="test")
     writer.close()
+    from uncrtaints_tpu.train.checkpoint import wait_for_checkpoints
+    wait_for_checkpoints()  # async (orbax) saves must be durable at exit
     print(f"Finished training experiment {cfg.experiment_name}.")
     return {"trainlog": trainlog, "test": test_img_metrics}
 

@@ -157,6 +157,9 @@ class Config:
                                          # batch into this many microbatches
                                          # (lax.scan), one optimizer update
                                          # on the mean gradient
+    ckpt_backend: str = "msgpack"        # checkpoint format: msgpack (single
+                                         # file, reference-style) | orbax
+                                         # (async, multi-host, atomic)
     prng_impl: str = "threefry2x32"      # dropout-noise PRNG: threefry2x32|rbg
                                          # (rbg is the TPU-native fast
                                          # generator; dropout statistics only,
@@ -309,6 +312,9 @@ def create_parser(mode: str = "train") -> argparse.ArgumentParser:
     p.add_argument("--accum_steps", default=d.accum_steps, type=int,
                    help="gradient-accumulation microbatches per step "
                         "(batch_size must be divisible)")
+    p.add_argument("--ckpt_backend", default=d.ckpt_backend, type=str,
+                   choices=["msgpack", "orbax"],
+                   help="checkpoint writer (orbax = async multi-host)")
     p.add_argument("--fused_eval", default=d.fused_eval, type=str,
                    choices=["auto", "on", "off"],
                    help="Pallas-fused eval MBConv path (experimental; "

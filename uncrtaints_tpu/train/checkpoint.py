@@ -29,18 +29,54 @@ def _ckpt_paths(res_dir: str, experiment: str, name: str):
     return os.path.join(d, f"{name}.ckpt"), os.path.join(d, f"{name}.meta.json")
 
 
+def _orbax_dir(res_dir: str, experiment: str, name: str) -> str:
+    return os.path.abspath(os.path.join(res_dir, experiment, f"{name}.orbax"))
+
+
+_ORBAX_CKPTR = None
+
+
+def _orbax():
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ORBAX_CKPTR = ocp.StandardCheckpointer()
+    return _ORBAX_CKPTR
+
+
+def wait_for_checkpoints():
+    """Block until pending async (orbax) saves are durably committed.
+    Call before process exit / before reading a just-written checkpoint."""
+    if _ORBAX_CKPTR is not None:
+        _ORBAX_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(cfg, epoch: int, state: TrainState, name: str,
                     lr: float) -> str:
+    """Write {name} checkpoint. Backend per ``cfg.ckpt_backend``:
+
+    - 'msgpack' (default): single-file flax.serialization blob — the
+      reference's .pth.tar analogue, host-gathered, synchronous.
+    - 'orbax': async multi-host StandardCheckpointer — the save returns
+      while the commit proceeds in the background (training continues),
+      arrays are written from their live (possibly sharded) devices, and
+      the directory rename is atomic. wait_for_checkpoints() barriers.
+    """
     path, meta_path = _ckpt_paths(cfg.res_dir, cfg.experiment_name, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     payload = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
         "step": int(state.step),
     }
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(payload))
+    if getattr(cfg, "ckpt_backend", "msgpack") == "orbax":
+        path = _orbax_dir(cfg.res_dir, cfg.experiment_name, name)
+        _orbax().save(path, payload, force=True)
+    else:
+        payload = jax.device_get(payload)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
     with open(meta_path, "w") as f:
         json.dump({"epoch": epoch, "lr": lr, "step": int(state.step)}, f)
     return path
@@ -73,21 +109,30 @@ def _migrate_legacy_conv_paths(tree):
 
 def load_checkpoint(cfg, checkp_dir: str, state: TrainState, name: str,
                     restore_opt: bool = True) -> Tuple[TrainState, Dict]:
-    """Strict restore of a checkpoint into an existing state skeleton."""
+    """Strict restore of a checkpoint into an existing state skeleton.
+    The backend is auto-detected from what exists on disk (an .orbax
+    directory wins over a .ckpt file), so runs saved with either backend
+    resume interchangeably."""
     path, meta_path = _ckpt_paths(checkp_dir, cfg.experiment_name, name)
-    with open(path, "rb") as f:
-        data = f.read()
+    odir = _orbax_dir(checkp_dir, cfg.experiment_name, name)
     target = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
         "step": 0,
     }
-    try:
-        payload = serialization.from_bytes(target, data)
-    except (ValueError, KeyError):
-        raw = _migrate_legacy_conv_paths(serialization.msgpack_restore(data))
-        payload = serialization.from_state_dict(target, raw)
+    if os.path.isdir(odir):
+        wait_for_checkpoints()  # a just-issued async save must be durable
+        payload = _orbax().restore(odir, target)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+        try:
+            payload = serialization.from_bytes(target, data)
+        except (ValueError, KeyError):
+            raw = _migrate_legacy_conv_paths(
+                serialization.msgpack_restore(data))
+            payload = serialization.from_state_dict(target, raw)
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
