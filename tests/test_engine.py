@@ -461,3 +461,100 @@ def test_orbax_checkpoint_round_trip(tmp_path):
     st2, aux = make_train_step(cfg)(restored, dict(batch),
                                     jax.random.PRNGKey(2))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_orbax_best_resave_survives_preemption(tmp_path):
+    """Re-saving the best checkpoint under the same name must keep the old
+    committed generation durable until the replacement commits: a bare
+    force=True delete would leave NO best checkpoint if the process is
+    preempted mid-commit. The rotated `.prev` generation (data + meta) is
+    what load_checkpoint falls back to."""
+    import os
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state, make_train_step
+    from uncrtaints_tpu.train.checkpoint import (load_checkpoint,
+                                                 save_checkpoint,
+                                                 wait_for_checkpoints)
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=2, lr=1e-3,
+                        ckpt_backend="orbax",
+                        res_dir=str(tmp_path), experiment_name="orb2",
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    key = jax.random.PRNGKey(0)
+    batch = {"x": jax.random.normal(key, (2, 3, 16, 16, 15)),
+             "y": jnp.zeros((2, 1, 16, 16, 13)),
+             "dates": jnp.tile(jnp.arange(3.0)[None], (2, 1))}
+    state1 = create_train_state(cfg, model, key, batch)
+    # snapshot BEFORE the train step: the jitted step donates the state
+    # buffers, so state1's live arrays are deleted after it runs
+    params1 = jax.device_get(state1.params)
+    path = save_checkpoint(cfg, epoch=1, state=state1, name="model", lr=1e-3)
+    wait_for_checkpoints()
+
+    state2, _ = make_train_step(cfg)(state1, dict(batch),
+                                     jax.random.PRNGKey(1))
+    save_checkpoint(cfg, epoch=2, state=state2, name="model", lr=9e-4)
+    wait_for_checkpoints()
+
+    fresh = create_train_state(cfg, model, jax.random.PRNGKey(42), batch)
+    restored, meta = load_checkpoint(cfg, cfg.res_dir, fresh, "model")
+    assert meta["epoch"] == 2 and int(restored.step) == 1
+
+    # simulate preemption before the replacement's commit: the new dir is
+    # gone, the rotated previous generation must still restore (old params,
+    # old epoch from the rotated meta sidecar)
+    shutil.rmtree(path)
+    assert os.path.isdir(path + ".prev")
+    restored1, meta1 = load_checkpoint(cfg, cfg.res_dir, fresh, "model")
+    assert meta1["epoch"] == 1 and int(restored1.step) == 0
+    for a, b in zip(jax.tree.leaves(restored1.params),
+                    jax.tree.leaves(params1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_partial_transfer_from_directory(tmp_path):
+    """--trained_checkp pointing at an .orbax directory: the partial-
+    transfer loader must restore the raw saved tree from the directory
+    (not open() it as a flat msgpack file) and transfer matching params
+    with the usual out_conv-trainable freeze mask."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state
+    from uncrtaints_tpu.train.checkpoint import (load_pretrained_partial,
+                                                 save_checkpoint,
+                                                 wait_for_checkpoints)
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=2, lr=1e-3,
+                        ckpt_backend="orbax",
+                        res_dir=str(tmp_path), experiment_name="orb3",
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    key = jax.random.PRNGKey(0)
+    batch = {"x": jax.random.normal(key, (2, 3, 16, 16, 15)),
+             "y": jnp.zeros((2, 1, 16, 16, 13)),
+             "dates": jnp.tile(jnp.arange(3.0)[None], (2, 1))}
+    src = create_train_state(cfg, model, key, batch)
+    path = save_checkpoint(cfg, epoch=1, state=src, name="pre", lr=1e-3)
+    wait_for_checkpoints()
+
+    dst = create_train_state(cfg, model, jax.random.PRNGKey(7), batch)
+    dst, freeze_mask = load_pretrained_partial(cfg, dst, path)
+    for a, b in zip(jax.tree.leaves(dst.params), jax.tree.leaves(src.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mask_leaves = {jax.tree_util.keystr(k): float(v) for k, v in
+                   jax.tree_util.tree_flatten_with_path(freeze_mask)[0]}
+    assert any(v == 0.0 for v in mask_leaves.values())          # frozen body
+    assert all(v == 1.0 for k, v in mask_leaves.items()
+               if "out_conv" in k)                              # head trains

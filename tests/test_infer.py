@@ -176,3 +176,66 @@ def test_predict_scene_from_exported_artifact(tmp_path):
     rmse = float(np.sqrt(np.mean((art["pred"] - live["pred"]) ** 2)))
     assert rmse < 5e-3, rmse
     assert "var" in art and art["var"].shape == (1, 24, 40, 13)
+
+
+def test_predict_scene_artifact_requires_dates(tmp_path):
+    """The exported graph bakes PE(dates) in as a traced input, so the
+    artifact path must reject dates=None instead of silently substituting
+    zeros (which applies the position-0 encoding while the live path skips
+    the PE add entirely)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from uncrtaints_tpu.infer import predict_scene
+
+    scene = np.zeros((3, 16, 16, 15), np.float32)
+    with pytest.raises(ValueError, match="dates"):
+        predict_scene(None, None, scene, None, tile=16, batch_size=2,
+                      forward_fn=lambda x, d: {"pred": jnp.zeros(
+                          (x.shape[0], 1, 16, 16, 13))})
+
+
+def test_predict_scene_artifact_small_scene_pads_to_exported_size(tmp_path):
+    """A scene smaller than the artifact's exported spatial dims must be
+    edge-padded UP to the fixed tile (the frozen program cannot re-jit at a
+    shrunken window size) and cropped back after blending."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from uncrtaints_tpu.config import Config, derive, input_dim
+    from uncrtaints_tpu.export import load_serving, save_serving
+    from uncrtaints_tpu.infer import predict_scene
+    from uncrtaints_tpu.models import get_generator
+    from uncrtaints_tpu.train import create_train_state
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=2, lr=1e-3,
+                        encoder_widths=[16], decoder_widths=[16, 16],
+                        n_head=4, d_model=32))
+    model = get_generator(cfg)
+    T, C, tile = cfg.input_t, input_dim(cfg), 16
+    key = jax.random.PRNGKey(0)
+    init = {"x": jnp.zeros((2, T, tile, tile, C)),
+            "y": jnp.zeros((2, 1, tile, tile, 13)),
+            "dates": jnp.zeros((2, T))}
+    state = create_train_state(cfg, model, key, init)
+    path = str(tmp_path / "small.uxp")
+    save_serving(state, cfg, path, height=tile, width=tile, batch=2,
+                 platforms=("cpu",))
+    serve = load_serving(path)
+
+    scene = jax.random.normal(key, (T, 10, 12, C))   # smaller than the tile
+    dates = jnp.arange(float(T)) * 10.0
+    art = predict_scene(None, None, scene, dates, tile=tile, overlap=4,
+                        batch_size=2, forward_fn=serve)
+    assert art["pred"].shape == (1, 10, 12, 13)
+    # equivalent live computation: the artifact path edge-pads the scene up
+    # to its fixed 16x16 window; hand the live path the SAME padded scene
+    # (the live path's small-scene clamp would otherwise shrink the window
+    # to 12x12, legitimately changing border context) and crop back
+    padded = np.pad(np.asarray(scene), ((0, 0), (0, 6), (0, 4), (0, 0)),
+                    mode="edge")
+    live = predict_scene(state, cfg, padded, dates, tile=tile, overlap=4,
+                         batch_size=2)
+    rmse = float(np.sqrt(np.mean(
+        (art["pred"] - live["pred"][:, :10, :12]) ** 2)))
+    assert rmse < 5e-3, rmse

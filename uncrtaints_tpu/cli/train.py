@@ -63,12 +63,13 @@ def build_datasets(cfg: Config):
         from uncrtaints_tpu.data.synthetic import (
             SyntheticSEN12MSCRTS, SyntheticSEN12MSCR)
         n = min(cfg.max_samples_count, 64)
+        ps = cfg.synthetic_patch
         if cfg.pretrain:
-            mk = lambda seed: SyntheticSEN12MSCR(n_samples=n, patch_size=256,
+            mk = lambda seed: SyntheticSEN12MSCR(n_samples=n, patch_size=ps,
                                                  seed=seed)
         else:
             mk = lambda seed: SyntheticSEN12MSCRTS(
-                n_samples=n, n_input_t=cfg.input_t, patch_size=256, seed=seed)
+                n_samples=n, n_input_t=cfg.input_t, patch_size=ps, seed=seed)
         return mk(1), mk(2), mk(3)
 
     if cfg.pretrain:
@@ -197,8 +198,11 @@ def main(cfg: Config) -> dict:
     trainlog, best_loss = {}, float("inf")
     begin_at = cfg.resume_at if cfg.resume_at >= 0 else 0
     if cfg.resume_from and cfg.trained_checkp:
-        # restore params/opt from the indicated checkpoint
-        name = os.path.basename(cfg.trained_checkp).replace(".ckpt", "")
+        # restore params/opt from the indicated checkpoint (either backend:
+        # a `model_epoch_k.ckpt` msgpack file or a `model_epoch_k.orbax` dir)
+        name = os.path.basename(cfg.trained_checkp.rstrip("/"))
+        for suffix in (".ckpt", ".orbax"):
+            name = name.removesuffix(suffix)
         state, meta = load_checkpoint(cfg, cfg.res_dir, state, name)
         begin_at = meta.get("epoch", begin_at)
 
@@ -255,6 +259,11 @@ def main(cfg: Config) -> dict:
     # test the best checkpoint (fall back to the last epoch if validation
     # never ran and no best-on-val checkpoint exists)
     print("Testing best epoch . . .")
+    from uncrtaints_tpu.train.checkpoint import wait_for_checkpoints
+    # async orbax saves only materialize model.orbax at background-commit
+    # time -- barrier first, or a just-saved best silently falls through to
+    # the last-epoch checkpoint
+    wait_for_checkpoints()
     best_name = "model" if (
         os.path.exists(os.path.join(exp_dir, "model.ckpt"))
         or os.path.isdir(os.path.join(exp_dir, "model.orbax"))
@@ -267,7 +276,6 @@ def main(cfg: Config) -> dict:
     print(f"Test image metrics: {test_img_metrics}")
     save_results(test_img_metrics, exp_dir, split="test")
     writer.close()
-    from uncrtaints_tpu.train.checkpoint import wait_for_checkpoints
     wait_for_checkpoints()  # async (orbax) saves must be durable at exit
     print(f"Finished training experiment {cfg.experiment_name}.")
     return {"trainlog": trainlog, "test": test_img_metrics}

@@ -148,6 +148,8 @@ class Config:
                                          # or pass cloud_cloudshadow_mask for
                                          # the on-device threshold detector
     synthetic_data: bool = False         # use the synthetic data source (tests/bench)
+    synthetic_patch: int = 256           # synthetic patch size; shrink for
+                                         # CPU smoke runs (compile time)
     fast_collate: bool = True            # single-pass native batch assembly
                                          # (exact numerics; auto-falls back
                                          # to the numpy collate when the
@@ -304,6 +306,8 @@ def create_parser(mode: str = "train") -> argparse.ArgumentParser:
     p.add_argument("--cloud_masks", default=d.cloud_masks, type=str,
                    help="cloud mask detector [cloud_cloudshadow_mask|s2cloudless_map|s2cloudless_mask|none]")
     p.add_argument("--synthetic_data", dest="synthetic_data", action="store_true")
+    p.add_argument("--synthetic_patch", default=d.synthetic_patch, type=int,
+                   help="patch size of the synthetic data source")
     p.add_argument("--remat", dest="remat", action="store_true",
                    help="rematerialize conv blocks to cut activation memory")
     p.add_argument("--no_fast_collate", dest="fast_collate",

@@ -115,9 +115,13 @@ def predict_scene(state, cfg: Optional[Config], scene_x: jax.Array,
     T, H0, W0, C = scene_x.shape
     if tile % 2:
         raise ValueError(f"tile must be even, got {tile}")
-    # round the scene-size clamp DOWN to even so an even user tile stays
-    # valid for odd-sized scenes
-    tile = min(tile, max(2, max(H0, W0) // 2 * 2))
+    if forward_fn is None:
+        # small-scene compile-size optimization: shrink the window to the
+        # scene. Only valid for the live (re-jittable) path -- an exported
+        # artifact has FIXED spatial dims, so small scenes must instead go
+        # through the pad-up-to-tile branch below at the artifact's size.
+        # round DOWN to even so an even user tile stays valid for odd scenes
+        tile = min(tile, max(2, max(H0, W0) // 2 * 2))
     overlap = min(overlap, tile // 2)
     stride = tile - overlap
 
@@ -139,11 +143,20 @@ def predict_scene(state, cfg: Optional[Config], scene_x: jax.Array,
     w2d = np.outer(wy, wx).astype(np.float32)        # [tile, tile]
 
     if forward_fn is not None:
-        # exported-artifact path: dates are a fixed positional arg of the
-        # artifact, so substitute zeros when absent
-        d_batch = jnp.broadcast_to(
-            dates[None] if dates is not None else jnp.zeros((T,)),
-            (batch_size, T)).astype(jnp.float32)
+        # exported-artifact path: dates are a traced input of the frozen
+        # graph -- when the model uses positional encoding, PE(dates) is
+        # baked in, so there is no "no dates" mode (zeros would silently
+        # apply the position-0 encoding, diverging from the live path,
+        # which SKIPS the PE add entirely when batch_positions is None)
+        if dates is None:
+            raise ValueError(
+                "predict_scene(forward_fn=...) requires `dates`: the "
+                "exported artifact takes day offsets as a real input and "
+                "bakes the positional encoding into the frozen graph. Pass "
+                "the [T] day offsets (or serve from the live model via "
+                "state/cfg, which supports dates=None).")
+        d_batch = jnp.broadcast_to(dates[None],
+                                   (batch_size, T)).astype(jnp.float32)
 
         def run(xb):
             out = forward_fn(xb, d_batch)

@@ -72,13 +72,33 @@ def save_checkpoint(cfg, epoch: int, state: TrainState, name: str,
     }
     if getattr(cfg, "ckpt_backend", "msgpack") == "orbax":
         path = _orbax_dir(cfg.res_dir, cfg.experiment_name, name)
+        if jax.process_index() == 0 and os.path.isdir(path):
+            # Re-saving (best-on-val): keep the committed old copy durable
+            # until the replacement's background commit lands. A bare
+            # force=True would delete it synchronously, leaving NO best
+            # checkpoint at all if the process is preempted mid-commit;
+            # load_checkpoint falls back to `.prev` in that case.
+            import shutil
+            prev = path + ".prev"
+            if os.path.isdir(prev):
+                shutil.rmtree(prev)  # superseded: `path` itself committed
+            if os.path.exists(meta_path):
+                shutil.copyfile(meta_path, prev + ".meta.json")
+            os.rename(path, prev)
         _orbax().save(path, payload, force=True)
     else:
         payload = jax.device_get(payload)
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(payload))
-    with open(meta_path, "w") as f:
-        json.dump({"epoch": epoch, "lr": lr, "step": int(state.step)}, f)
+    if jax.process_index() == 0:
+        # primary host only (orbax also writes from the primary): concurrent
+        # writers on shared storage could interleave; tmp+rename keeps the
+        # sidecar atomic. NOTE the sidecar lands before an async orbax data
+        # commit -- readers must key off the data dir, never the sidecar.
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch, "lr": lr, "step": int(state.step)}, f)
+        os.replace(tmp, meta_path)
     return path
 
 
@@ -121,9 +141,21 @@ def load_checkpoint(cfg, checkp_dir: str, state: TrainState, name: str,
         "opt_state": jax.device_get(state.opt_state),
         "step": 0,
     }
+    # barrier BEFORE backend detection: a just-issued async orbax save only
+    # materializes the .orbax directory at commit time (atomic rename), so
+    # probing isdir first would mis-detect the backend as msgpack (or read a
+    # stale .ckpt of the same name) while the commit is still in flight
+    wait_for_checkpoints()
+    prev = odir + ".prev"
     if os.path.isdir(odir):
-        wait_for_checkpoints()  # a just-issued async save must be durable
         payload = _orbax().restore(odir, target)
+    elif os.path.isdir(prev):
+        # a re-save rotated the old committed copy out but was preempted
+        # before the replacement committed: the .prev generation is the
+        # newest durable checkpoint under this name
+        payload = _orbax().restore(prev, target)
+        if os.path.exists(prev + ".meta.json"):
+            meta_path = prev + ".meta.json"
     else:
         with open(path, "rb") as f:
             data = f.read()
@@ -154,13 +186,18 @@ def load_pretrained_partial(cfg, state: TrainState,
     (model_utils.py:128-196 semantics). Returns (state, freeze_mask)."""
     import jax.numpy as jnp
 
-    with open(ckpt_path, "rb") as f:
-        payload = serialization.from_bytes(
-            {"params": jax.device_get(state.params),
-             "batch_stats": jax.device_get(state.batch_stats),
-             "opt_state": jax.device_get(state.opt_state),
-             "step": 0},
-            f.read())
+    target = {"params": jax.device_get(state.params),
+              "batch_stats": jax.device_get(state.batch_stats),
+              "opt_state": jax.device_get(state.opt_state),
+              "step": 0}
+    if os.path.isdir(ckpt_path):  # orbax checkpoint directory
+        # no target: the raw saved tree, so a source net with a DIFFERENT
+        # architecture still loads (the per-leaf path+shape filter below
+        # decides what transfers, same as the msgpack branch's semantics)
+        payload = _orbax().restore(os.path.abspath(ckpt_path))
+    else:
+        with open(ckpt_path, "rb") as f:
+            payload = serialization.from_bytes(target, f.read())
     pre = payload["params"]
 
     flat_new = {jax.tree_util.keystr(k): (k, v) for k, v in
