@@ -198,10 +198,11 @@ def main(cfg: Config) -> dict:
     trainlog, best_loss = {}, float("inf")
     begin_at = cfg.resume_at if cfg.resume_at >= 0 else 0
     if cfg.resume_from and cfg.trained_checkp:
-        # restore params/opt from the indicated checkpoint (either backend:
-        # a `model_epoch_k.ckpt` msgpack file or a `model_epoch_k.orbax` dir)
+        # restore params/opt from the indicated checkpoint (any backend:
+        # a `model_epoch_k.ckpt` msgpack file, a `model_epoch_k.orbax` dir,
+        # or a reference-format `model_epoch_k.pth.tar`)
         name = os.path.basename(cfg.trained_checkp.rstrip("/"))
-        for suffix in (".ckpt", ".orbax"):
+        for suffix in (".ckpt", ".orbax", ".pth.tar"):
             name = name.removesuffix(suffix)
         state, meta = load_checkpoint(cfg, cfg.res_dir, state, name)
         begin_at = meta.get("epoch", begin_at)

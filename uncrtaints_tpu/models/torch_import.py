@@ -392,6 +392,59 @@ def import_uncrtaints(variables, sd: Dict[str, np.ndarray], cfg):
     return _import_with_mapping(variables, sd, uncrtaints_mapping(cfg))
 
 
+def _mapping_for(cfg) -> Tuple[Dict[str, Tuple[str, object]], bool]:
+    """(mapping, needs_legacy_rename) for the CLI-reachable model families.
+
+    The reference CLI only ever writes unet/utae/uncrtaints checkpoints
+    (model_utils.py:16-110 gates config.model to those three); the other
+    importers in this module (unet3d/recunet/fpn) exist for the parity
+    harness and take architecture args not derivable from a Config."""
+    model = getattr(cfg, "model", "uncrtaints")
+    if model == "uncrtaints":
+        return uncrtaints_mapping(cfg), True
+    if model == "unet":
+        return unet_mapping(cfg), False
+    if model == "utae":
+        return utae_mapping(cfg), False
+    raise ValueError(
+        f"no PyTorch checkpoint importer for model={model!r}; reference "
+        "CLI checkpoints exist only for unet/utae/uncrtaints")
+
+
+def import_for_model(variables, sd: Dict[str, np.ndarray], cfg):
+    """Dispatch the full (strict-shape) import on ``cfg.model``."""
+    mapping, legacy = _mapping_for(cfg)
+    if legacy:
+        sd = normalize_legacy_keys(sd)
+    return _import_with_mapping(variables, sd, mapping)
+
+
+def import_params_partial(cfg, params, sd: Dict[str, np.ndarray]):
+    """Partial-transfer import: map the reference state_dict onto a copy of
+    ``params``, SKIPPING shape mismatches (the reference's size-mismatch
+    filtering in load_model, model_utils.py:156-170). Returns
+    (new_params, transferred) where ``transferred`` is the set of
+    ``jax.tree_util.keystr`` paths actually filled — the caller freezes
+    exactly those (minus the output head), never untransferred init values."""
+    mapping, legacy = _mapping_for(cfg)
+    if legacy:
+        sd = normalize_legacy_keys(sd)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    leaves, transferred = [], set()
+    for kp, leaf in flat:
+        ks = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                      for k in kp)
+        ent = mapping.get(ks)
+        if ent is not None and ent[0] in sd:
+            arr = ent[1](sd[ent[0]]).astype(np.float32)
+            if arr.shape == leaf.shape:
+                leaves.append(jax.numpy.asarray(arr))
+                transferred.add(jax.tree_util.keystr(kp))
+                continue
+        leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves), transferred
+
+
 def _import_with_mapping(variables, sd, mapping):
     def keypath_str(kp):
         return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))

@@ -127,12 +127,46 @@ def _migrate_legacy_conv_paths(tree):
     return out
 
 
+def load_torch_checkpoint(cfg, state: TrainState, path: str
+                          ) -> Tuple[TrainState, Dict]:
+    """Restore a reference PyTorch ``.pth.tar`` directly into a TrainState.
+
+    Lets a reference user point the test/resume CLIs at their existing
+    trained checkpoints (model_utils.py:117-125 format: ``state_dict_G``
+    params + ``epoch``) with no conversion step. Params and running
+    batch-norm stats transfer; ``optimizer_G``/``scheduler_G`` state is
+    torch-Adam-specific and does NOT transfer — the optimizer restarts
+    fresh (the epoch-resume lr rescale in config.apply_resume still applies
+    the schedule)."""
+    import torch
+    from uncrtaints_tpu.models import torch_import as ti
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd_src = blob.get("state_dict_G", blob)
+    sd = {k: v.detach().cpu().numpy() for k, v in sd_src.items()
+          if hasattr(v, "detach")}
+    variables = {"params": jax.device_get(state.params)}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    new_vars, matched, missing = ti.import_for_model(variables, sd, cfg)
+    print(f"[checkpoint] imported {len(matched)} tensors from torch "
+          f"checkpoint {os.path.basename(path)}"
+          + (f"; {len(missing)} reference keys absent: {missing[:4]}…"
+             if missing else ""))
+    state = state.replace(params=new_vars["params"])
+    if "batch_stats" in new_vars:
+        state = state.replace(batch_stats=new_vars["batch_stats"])
+    meta = {"epoch": int(blob.get("epoch", 1))}
+    return state, meta
+
+
 def load_checkpoint(cfg, checkp_dir: str, state: TrainState, name: str,
                     restore_opt: bool = True) -> Tuple[TrainState, Dict]:
     """Strict restore of a checkpoint into an existing state skeleton.
     The backend is auto-detected from what exists on disk (an .orbax
-    directory wins over a .ckpt file), so runs saved with either backend
-    resume interchangeably."""
+    directory wins over a .ckpt file, which wins over a reference-format
+    .pth.tar), so runs saved with any backend — including the PyTorch
+    reference itself — resume interchangeably."""
     path, meta_path = _ckpt_paths(checkp_dir, cfg.experiment_name, name)
     odir = _orbax_dir(checkp_dir, cfg.experiment_name, name)
     target = {
@@ -157,6 +191,12 @@ def load_checkpoint(cfg, checkp_dir: str, state: TrainState, name: str,
         if os.path.exists(prev + ".meta.json"):
             meta_path = prev + ".meta.json"
     else:
+        tpath = os.path.join(checkp_dir, cfg.experiment_name,
+                             f"{name}.pth.tar")
+        if not os.path.exists(path) and os.path.exists(tpath):
+            # reference-format PyTorch checkpoint under the expected name:
+            # import it directly (params + batch stats; no optimizer state)
+            return load_torch_checkpoint(cfg, state, tpath)
         with open(path, "rb") as f:
             data = f.read()
         try:
@@ -190,20 +230,31 @@ def load_pretrained_partial(cfg, state: TrainState,
               "batch_stats": jax.device_get(state.batch_stats),
               "opt_state": jax.device_get(state.opt_state),
               "step": 0}
-    if os.path.isdir(ckpt_path):  # orbax checkpoint directory
-        # no target: the raw saved tree, so a source net with a DIFFERENT
-        # architecture still loads (the per-leaf path+shape filter below
-        # decides what transfers, same as the msgpack branch's semantics)
-        payload = _orbax().restore(os.path.abspath(ckpt_path))
+    if ckpt_path.endswith(".pth.tar"):
+        # reference-format torch checkpoint: map onto a copy of the target
+        # tree, skipping shape mismatches; flat_pre keeps ONLY the leaves
+        # actually transferred so untransferred init values are never frozen
+        from uncrtaints_tpu.models import torch_import as ti
+        sd = ti.load_torch_state_dict(ckpt_path)
+        pre, transferred = ti.import_params_partial(cfg, target["params"], sd)
+        flat_pre = {jax.tree_util.keystr(k): v for k, v in
+                    jax.tree_util.tree_flatten_with_path(pre)[0]
+                    if jax.tree_util.keystr(k) in transferred}
     else:
-        with open(ckpt_path, "rb") as f:
-            payload = serialization.from_bytes(target, f.read())
-    pre = payload["params"]
+        if os.path.isdir(ckpt_path):  # orbax checkpoint directory
+            # no target: the raw saved tree, so a source net with a DIFFERENT
+            # architecture still loads (the per-leaf path+shape filter below
+            # decides what transfers, same as the msgpack branch's semantics)
+            payload = _orbax().restore(os.path.abspath(ckpt_path))
+        else:
+            with open(ckpt_path, "rb") as f:
+                payload = serialization.from_bytes(target, f.read())
+        pre = payload["params"]
+        flat_pre = {jax.tree_util.keystr(k): v for k, v in
+                    jax.tree_util.tree_flatten_with_path(pre)[0]}
 
     flat_new = {jax.tree_util.keystr(k): (k, v) for k, v in
                 jax.tree_util.tree_flatten_with_path(state.params)[0]}
-    flat_pre = {jax.tree_util.keystr(k): v for k, v in
-                jax.tree_util.tree_flatten_with_path(pre)[0]}
 
     loaded, frozen_keys = {}, set()
     for ks, (k, v) in flat_new.items():
