@@ -363,3 +363,84 @@ def test_precompute_cli_on_fixture_tree(ts_tree, tmp_path):
         t = int(entry["target"])
         assert 0 <= t < T
         assert entry["coverage"][t] == entry["coverage"].min()
+
+
+# --------------------------------------------------------------------- #
+# custom-sample mosaic mode (--use_custom, dataLoader.py:383-421)
+
+def test_custom_mosaic_mode(ts_tree, monkeypatch):
+    """custom_samples __getitem__: patch lists are spatially mosaicked
+    (rasterio.merge faked as a horizontal concat over the 1x2 patch grid),
+    masks/coverage come from the RAW mosaic while model inputs are
+    process_MS/SAR-rescaled, day offsets parse from the FIRST path's
+    filename date, and the reference's target-mask-from-INPUT-rasters quirk
+    (dataLoader.py:421) is preserved."""
+    import types
+    from datetime import date
+
+    roi_dir, roi = TRAIN_ROI
+
+    class FakeSrc:
+        def __init__(self, path):
+            with open(path, "rb") as f:
+                self.arr = np.load(f)
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(ts_mod, "rasterio",
+                        types.SimpleNamespace(open=FakeSrc))
+    monkeypatch.setattr(ts_mod, "rasterio_merge",
+                        lambda srcs: (np.concatenate(
+                            [s.arr for s in srcs], axis=-1), None))
+
+    def rel(mod, t):
+        return [os.path.join(roi_dir, roi, mod, str(t),
+                             _fname(mod, roi_dir, roi, t, p))
+                for p in range(N_PATCH)]
+
+    custom = [{"input": {"S1": [rel("S1", t) for t in (0, 1, 2)],
+                         "S2": [rel("S2", t) for t in (0, 1, 2)]},
+               "target": {"S1": [rel("S1", 29)], "S2": [rel("S2", 29)]}}]
+    ds = _make_ds(ts_tree, custom_samples=custom)
+    assert len(ds) == 1
+    s = ds[0]
+
+    def raw(mod, t):
+        return np.concatenate([_frame(roi, mod, t, p)
+                               for p in range(N_PATCH)], axis=-1)
+
+    # mosaicked shape: the 1x2 patch grid doubles W
+    assert np.asarray(s["input"]["S2"][0]).shape == (13, HW, 2 * HW)
+    for t in range(3):
+        np.testing.assert_allclose(s["input"]["S2"][t],
+                                   process_MS(raw("S2", t), "default"),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(s["input"]["S1"][t],
+                                   process_SAR(raw("S1", t), "default"),
+                                   rtol=1e-6)
+        exp_mask = get_cloud_map(np.moveaxis(raw("S2", t), 0, -1),
+                                 "cloud_cloudshadow_mask")
+        np.testing.assert_array_equal(s["input"]["masks"][t], exp_mask)
+        assert s["input"]["coverage"][t] == pytest.approx(
+            float(np.mean(exp_mask)))
+
+    # day offsets since S1 launch (2014-04-03), parsed from filename dates
+    exp_td = [(date(2018, 1, 1) + timedelta(days=5 * t)
+               - date(2014, 4, 3)).days for t in (0, 1, 2)]
+    assert list(s["input"]["S1 TD"]) == exp_td
+    assert list(s["input"]["S2 TD"]) == exp_td
+
+    np.testing.assert_allclose(s["target"]["S2"][0],
+                               process_MS(raw("S2", 29), "default"),
+                               rtol=1e-6)
+    np.testing.assert_allclose(s["target"]["S1"][0],
+                               process_SAR(raw("S1", 29), "default"),
+                               rtol=1e-6)
+    # reference quirk: target masks are computed from the INPUT rasters
+    tgt_masks = np.asarray(s["target"]["masks"][0])
+    assert tgt_masks.shape[0] == 3
+    np.testing.assert_array_equal(
+        tgt_masks[0], get_cloud_map(np.moveaxis(raw("S2", 0), 0, -1),
+                                    "cloud_cloudshadow_mask"))
+    assert s["coverage bin"] is True

@@ -251,16 +251,22 @@ class SEN12MSCRTS:
     # ------------------------------------------------------------------ #
 
     def _getitem_custom(self, pdx):
+        import copy
         from uncrtaints_tpu.data.sen12mscr import iterdict
         entry = self.custom_samples[pdx]
-        custom = iterdict(dict(entry), self.mosaic_patches)
 
+        # parse the acquisition dates BEFORE mosaicing, and hand iterdict a
+        # DEEP copy: iterdict rewrites the nested dict leaves in place, so a
+        # shallow copy would destroy the user's path lists on first access
+        # (the reference survives only because it, too, parses dates first
+        # and reads each custom sample exactly once, dataLoader.py:409-414)
         in_s1_td = [days_since_launch(
             datetime.strptime(t[0].split("/")[-1].split("_")[-3], "%Y-%m-%d"))
             for t in entry["input"]["S1"]]
         in_s2_td = [days_since_launch(
             datetime.strptime(t[0].split("/")[-1].split("_")[-3], "%Y-%m-%d"))
             for t in entry["input"]["S2"]]
+        custom = iterdict(copy.deepcopy(entry), self.mosaic_patches)
 
         input_s1 = [process_SAR(img, self.method) for img in custom["input"]["S1"]]
         input_s2_raw = custom["input"]["S2"]
@@ -269,8 +275,12 @@ class SEN12MSCRTS:
             for img in input_s2_raw]
         input_s2 = [process_MS(img, self.method) for img in input_s2_raw]
 
-        target_s1 = process_SAR(custom["target"]["S1"], self.method)[0]
-        target_s2 = [process_MS(custom["target"]["S2"], self.method)[0]]
+        # the reference feeds the 1-element target LIST through the numpy
+        # ufuncs directly (dataLoader.py:419-420); stack explicitly here
+        target_s1 = process_SAR(np.asarray(custom["target"]["S1"]),
+                                self.method)[0]
+        target_s2 = [process_MS(np.asarray(custom["target"]["S2"]),
+                                self.method)[0]]
         target_mask = [] if not self.cloud_masks else [
             get_cloud_map(np.moveaxis(img, 0, -1), self.cloud_masks)
             for img in input_s2_raw]
