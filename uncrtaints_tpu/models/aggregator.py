@@ -23,14 +23,19 @@ from uncrtaints_tpu.ops.resize import upsample_bilinear, avg_pool2d
 
 
 def _match_resolution(attn: jax.Array, hw: tuple) -> jax.Array:
-    """Upsample (bilinear, half-pixel) or avg-pool attention to feature res."""
+    """Upsample (bilinear, half-pixel) or avg-pool attention to feature res.
+
+    The reference gates on the H axis alone (uncrtaints.py:156-165), which
+    breaks on non-square features whose H happens to equal the attention
+    resolution (e.g. a wide custom mosaic with a small --low_res_size);
+    compare both dims so W-only mismatches resize too."""
     H, W = hw
     h_att, w_att = attn.shape[2], attn.shape[3]
-    if H > h_att:
+    if (H, W) == (h_att, w_att):
+        return attn
+    if H > h_att or W > w_att:
         return upsample_bilinear(attn, (H, W), hw_axes=(2, 3))
-    if H < h_att:
-        return avg_pool2d(attn, w_att // W, hw_axes=(2, 3))
-    return attn
+    return avg_pool2d(attn, w_att // W, hw_axes=(2, 3))
 
 
 class TemporalAggregator(nn.Module):
@@ -51,7 +56,11 @@ class TemporalAggregator(nn.Module):
             attn_mask = attn_mask.astype(x.dtype)
         if self.mode == "att_group":
             attn = _match_resolution(attn_mask, (H, W))       # [B,T,H,W,h]
-            if attn.shape[2] > attn_mask.shape[2] and self.dropout_rate > 0:
+            # dropout ONLY after an upsample (uncrtaints.py:163-167 applies
+            # it in the Upsample branch alone, never after AvgPool)
+            upsampled = (attn.shape[2] > attn_mask.shape[2]
+                         or attn.shape[3] > attn_mask.shape[3])
+            if upsampled and self.dropout_rate > 0:
                 attn = nn.Dropout(self.dropout_rate, deterministic=not train)(attn)
             if pad_mask is not None:
                 attn = attn * (~pad_mask)[:, :, None, None, None].astype(attn.dtype)
