@@ -106,3 +106,31 @@ def test_cli_test_end_to_end(tmp_path, monkeypatch):
     assert metrics and np.isfinite(metrics["RMSE"])
     assert os.path.isfile(os.path.join(str(out_dir), "smoke",
                                        "test_metrics.json"))
+
+
+def test_cli_train_pretrain_mono(tmp_path):
+    """End-to-end mono pretrain (--model unet): derive forces pretrain /
+    sample_type / input_t=1 / l2 loss / batch 32 (train_reconstruct.py:39-51
+    rules), data comes from the synthetic SEN12MSCR twin, and the whole
+    train -> val -> test loop runs without a variance head."""
+    import uncrtaints_tpu.cli.train as cli_train
+    from uncrtaints_tpu.config import Config, derive
+
+    cfg = derive(Config(model="unet", use_sar=True, scale_by=10.0,
+                        batch_size=8, lr=1e-3, epochs=1,
+                        synthetic_data=True, synthetic_patch=32,
+                        max_samples_count=32,
+                        res_dir=str(tmp_path), experiment_name="mono",
+                        encoder_widths=[16, 16], decoder_widths=[16, 16],
+                        plot_every=-1, export_every=-1, display_step=1))
+    assert cfg.pretrain and cfg.loss == "l2" and cfg.input_t == 1
+    assert cfg.batch_size == 32          # unet rule (train_reconstruct.py:51)
+
+    metrics = cli_train.main(cfg)
+
+    exp = os.path.join(str(tmp_path), "mono")
+    assert os.path.isfile(os.path.join(exp, "model.ckpt"))
+    with open(os.path.join(exp, "test_metrics.json")) as f:
+        tm = json.load(f)
+    for key in ("RMSE", "MAE", "PSNR", "SAM", "SSIM"):
+        assert key in tm and np.isfinite(tm[key]), key
