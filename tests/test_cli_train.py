@@ -134,3 +134,41 @@ def test_cli_train_pretrain_mono(tmp_path):
         tm = json.load(f)
     for key in ("RMSE", "MAE", "PSNR", "SAM", "SSIM"):
         assert key in tm and np.isfinite(tm[key]), key
+
+
+def test_cli_train_resume_end_to_end(tmp_path):
+    """--resume_from --trained_checkp --resume_at k: conf.json merged with
+    the NO_OVERWRITE_RESUME list, lr rescaled by gamma^k, training continues
+    at epoch k+1 with the restored optimizer step counter
+    (train_reconstruct.py:66-84, 645-650 semantics)."""
+    import uncrtaints_tpu.cli.train as cli_train
+    from uncrtaints_tpu.config import Config, derive, apply_resume
+
+    def mk_cfg(**kw):
+        base = dict(use_sar=True, scale_by=10.0, batch_size=8, lr=1e-3,
+                    input_t=3, synthetic_data=True, synthetic_patch=32,
+                    max_samples_count=8, res_dir=str(tmp_path),
+                    experiment_name="res", encoder_widths=[16],
+                    decoder_widths=[16, 16], n_head=4, d_model=32,
+                    plot_every=-1, export_every=-1, display_step=1)
+        base.update(kw)
+        return derive(Config(**base))
+
+    cli_train.main(mk_cfg(epochs=2))
+    exp = os.path.join(str(tmp_path), "res")
+    assert os.path.isfile(os.path.join(exp, "model_epoch_2.ckpt"))
+
+    ckpt = os.path.join(exp, "model_epoch_2.ckpt")
+    cfg2 = apply_resume(mk_cfg(epochs=3, resume_from=True,
+                               trained_checkp=ckpt, resume_at=2))
+    assert cfg2.lr == pytest.approx(1e-3 * cfg2.gamma ** 2)
+
+    out = cli_train.main(cfg2)
+
+    # only epoch 3 ran in the resumed process
+    assert set(map(int, out["trainlog"])) == {3}
+    assert os.path.isfile(os.path.join(exp, "model_epoch_3.ckpt"))
+    # optimizer step counter continued: 1 step/epoch (8 samples at B=8)
+    with open(os.path.join(exp, "model_epoch_3.meta.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 3 and meta["step"] == 3
