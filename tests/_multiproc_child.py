@@ -100,6 +100,27 @@ def main():
     out["train_loss"] = float(loop_mod._to_host(aux["loss"]))
     out["train_finite"] = bool(np.isfinite(out["train_loss"]))
 
+    # cross-host async orbax checkpoint: save the (replicated, mesh-spanning)
+    # trained state from BOTH processes, barrier, restore into a fresh state
+    # skeleton, and verify bit-equality with the live params
+    ck_dir = os.environ.get("CKPT_DIR")
+    if ck_dir:
+        from uncrtaints_tpu.train.checkpoint import (load_checkpoint,
+                                                     save_checkpoint,
+                                                     wait_for_checkpoints)
+        ccfg = cfg.replace(ckpt_backend="orbax", res_dir=ck_dir,
+                           experiment_name="mh")
+        save_checkpoint(ccfg, epoch=1, state=st2, name="model", lr=1e-3)
+        wait_for_checkpoints()
+        fresh = create_train_state(ccfg, model, jax.random.PRNGKey(9), dev)
+        fresh = jax.device_put(fresh, replicated_sharding(mesh))
+        restored, meta = load_checkpoint(ccfg, ck_dir, fresh, "model")
+        diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                 for a, b in zip(jax.tree.leaves(jax.device_get(restored.params)),
+                                 jax.tree.leaves(jax.device_get(st2.params)))]
+        out["ckpt_epoch"] = int(meta["epoch"])
+        out["ckpt_restore_max_abs"] = max(diffs)
+
     print("RESULT " + json.dumps(out))
 
 

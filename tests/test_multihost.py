@@ -157,6 +157,9 @@ def test_two_real_processes_end_to_end():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+    import tempfile
+    ck_dir = tempfile.mkdtemp(prefix="mh_ckpt_")
+
     def env_for(pid, port):
         return {
             "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
@@ -166,6 +169,7 @@ def test_two_real_processes_end_to_end():
             "COORDINATOR_ADDRESS": f"localhost:{port}",
             "NUM_PROCESSES": "2",
             "PROCESS_ID": str(pid),
+            "CKPT_DIR": ck_dir,
         }
 
     def attempt():
@@ -221,3 +225,8 @@ def test_two_real_processes_end_to_end():
     assert r0["train_loss"] == r1["train_loss"]
     # contiguous non-overlapping host spans of the global batch
     assert sorted((r0["offset"], r1["offset"])) == [0, 4]
+    # cross-host orbax checkpoint round trip: both processes restored the
+    # saved params exactly
+    for r in (r0, r1):
+        assert r["ckpt_epoch"] == 1
+        assert r["ckpt_restore_max_abs"] == 0.0, r
