@@ -172,3 +172,41 @@ def test_cli_train_resume_end_to_end(tmp_path):
     with open(os.path.join(exp, "model_epoch_3.meta.json")) as f:
         meta = json.load(f)
     assert meta["epoch"] == 3 and meta["step"] == 3
+
+
+@pytest.mark.parametrize("overrides", [
+    dict(loss="GNLL"),                      # derive forces covmode=uni
+    dict(loss="MGNLL", covmode="iso"),      # 1-channel variance head
+], ids=["gnll_uni", "mgnll_iso"])
+def test_cli_train_other_uncertainty_heads(tmp_path, monkeypatch, overrides):
+    """End-to-end train -> val -> test for the non-default uncertainty
+    recipes: GNLL (univariate, covmode forced uni) and MGNLL iso (scalar
+    variance channel broadcast over bands). Exercises the 1-channel /
+    13-channel variance split through metrics, calibration, and export."""
+    import uncrtaints_tpu.cli.train as cli_train
+    from uncrtaints_tpu.data.synthetic import SyntheticSEN12MSCRTS
+
+    cfg = _tiny_cfg(tmp_path, experiment_name="head", export_every=4,
+                    plot_every=-1, **overrides)
+    mk = lambda seed: SyntheticSEN12MSCRTS(
+        n_samples=8, n_input_t=cfg.input_t, patch_size=32, seed=seed)
+    monkeypatch.setattr(cli_train, "build_datasets",
+                        lambda c: (mk(1), mk(2), mk(3)))
+
+    out = cli_train.main(cfg)
+
+    tm = out["test"]
+    for key in ("RMSE", "MAE", "PSNR", "SAM", "SSIM",
+                "mean var", "UCE SE", "AUCE SE"):
+        assert key in tm and np.isfinite(tm[key]), key
+
+    exports = []
+    exp = os.path.join(str(tmp_path), "head")
+    for root, _, files in os.walk(os.path.join(exp, "export")):
+        exports += files
+    assert any("_pred" in f for f in exports)
+    if overrides.get("covmode") == "iso":
+        # iso exports the compact var map (no [C,C,H,W] covar for a scalar)
+        assert any("_var" in f or "_covar" in f for f in exports)
+    else:
+        assert any("_var" in f for f in exports)  # GNLL: compact var
