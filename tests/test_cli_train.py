@@ -210,3 +210,29 @@ def test_cli_train_other_uncertainty_heads(tmp_path, monkeypatch, overrides):
         assert any("_var" in f or "_covar" in f for f in exports)
     else:
         assert any("_var" in f for f in exports)  # GNLL: compact var
+
+
+def test_cli_train_keeps_tail_batch(tmp_path, monkeypatch):
+    """drop_last=False parity (train_reconstruct.py:589-609): with 10
+    samples at B=8 the tail batch of 2 must train AND be evaluated/exported
+    -- on the 8-device mesh the non-divisible tail runs replicated instead
+    of crashing the batch sharding."""
+    import uncrtaints_tpu.cli.train as cli_train
+    from uncrtaints_tpu.data.synthetic import SyntheticSEN12MSCRTS
+
+    cfg = _tiny_cfg(tmp_path, experiment_name="tail", max_samples_count=10,
+                    plot_every=-1, export_every=1)
+    mk = lambda seed: SyntheticSEN12MSCRTS(
+        n_samples=10, n_input_t=cfg.input_t, patch_size=32, seed=seed)
+    monkeypatch.setattr(cli_train, "build_datasets",
+                        lambda c: (mk(1), mk(2), mk(3)))
+
+    out = cli_train.main(cfg)
+    for key in ("RMSE", "MAE", "PSNR"):
+        assert np.isfinite(out["test"][key])
+
+    # every test sample -- including the tail two -- was exported
+    export_dir = os.path.join(str(tmp_path), "tail", "export",
+                              "epoch_1", "test")
+    preds = [f for f in os.listdir(export_dir) if "_pred" in f]
+    assert len(preds) == 10, sorted(preds)

@@ -139,9 +139,14 @@ def main(cfg: Config) -> dict:
 
     from uncrtaints_tpu.data.pipeline import select_collate
     collate = select_collate(cfg)
+    # reference parity: DataLoader default drop_last=False for ALL splits
+    # (train_reconstruct.py:589-609) -- the tail batch trains/evaluates too
+    # (iterate runs a non-mesh-divisible tail replicated). Multi-host runs
+    # must drop it: strided host shards can leave UNEQUAL per-host tails,
+    # which would diverge the SPMD programs across hosts.
     mk_loader = lambda ds, shuffle, seed: BatchLoader(
         ds, batch_size=per_host_bs, shuffle=shuffle, seed=seed,
-        collate=collate, use_sar=cfg.use_sar,
+        collate=collate, use_sar=cfg.use_sar, drop_last=(n_hosts > 1),
         num_workers=max(1, cfg.num_workers), shard=host_shard)
     train_loader = mk_loader(dt_train, True, cfg.rdm_seed)
     val_loader = mk_loader(dt_val, False, cfg.rdm_seed)

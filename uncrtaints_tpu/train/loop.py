@@ -158,7 +158,23 @@ def _device_prefetch(loader, sharding, depth: int = 2):
     from collections import deque
     q = deque()
     for batch in loader:
-        q.append((batch, _device_batch(batch, sharding)))
+        bsh = sharding
+        if sharding is not None:
+            n_dev = len(sharding.mesh.devices.flatten())
+            B = next(v.shape[0] for v in batch.values() if v is not None)
+            if B % n_dev != 0:
+                # non-divisible tail batch (drop_last=False, reference
+                # parity): run it REPLICATED over the mesh -- exact loss and
+                # metrics at the cost of no parallel speedup for this one
+                # batch (+ one extra compile for the tail shape). Multi-host
+                # tails never reach here: the CLI drops them (unequal
+                # per-host tails would diverge the SPMD programs).
+                if n_dev > len(jax.local_devices()):
+                    raise ValueError(
+                        f"tail batch of {B} is not divisible by the "
+                        f"{n_dev}-device multi-host mesh; use drop_last")
+                bsh = None
+        q.append((batch, _device_batch(batch, bsh)))
         if len(q) >= depth:
             yield q.popleft()
     while q:
@@ -226,7 +242,11 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
             deferred_bm.append((B, off, bm))
             pred = var = None  # host copies, materialized lazily below
             for bdx in range(B):
-                idx = i * B + bdx
+                # sequential sample id (reference: i*batch_size+bdx with the
+                # CONFIGURED size, train_reconstruct.py:338 -- using the
+                # current batch's B would collide tail-batch ids with
+                # earlier samples and overwrite their plot/export files)
+                idx = n_seen + bdx
                 need_host = (
                     (cfg.plot_every > 0 and idx % cfg.plot_every == 0)
                     or (cfg.export_every > 0 and idx % cfg.export_every == 0))
