@@ -29,6 +29,20 @@ def test_upsample_bilinear_matches_torch_align_corners_false(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("src,dst", [((8, 8), (8, 72)),    # W-only upsample
+                                     ((16, 8), (48, 40)),  # both, non-uniform
+                                     ((8, 8), (24, 8))])   # H-only upsample
+def test_upsample_bilinear_non_square_matches_torch(rng, src, dst):
+    """Non-square / single-axis resizes: load-bearing for the aggregator's
+    attention upsample on non-square scenes (custom mosaics)."""
+    x = rng.standard_normal((2, 3, *src)).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=dst, mode="bilinear",
+                        align_corners=False).numpy()
+    got = upsample_bilinear(jnp.asarray(x.transpose(0, 2, 3, 1)), dst)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_avg_pool_matches_torch(rng):
     x = rng.standard_normal((2, 4, 64, 64)).astype(np.float32)
     ref = F.avg_pool2d(torch.from_numpy(x), kernel_size=4).numpy()
