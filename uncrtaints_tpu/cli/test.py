@@ -83,11 +83,18 @@ def main(cfg: Config) -> dict:
                               num_workers=max(1, cfg.num_workers),
                               drop_last=False)
 
+    # data-parallel eval mesh, like the train CLI's final test pass: batch
+    # sharded, params replicated (tail batches run replicated in iterate)
+    from uncrtaints_tpu.parallel import (
+        make_mesh, batch_sharding as mk_bs, replicated_sharding)
+    n_dev = cfg.mesh_shape or len(jax.devices())
+    bsh = mk_bs(make_mesh(n_dev)) if n_dev > 1 else None
+
     model = get_generator(cfg)
-    import jax.numpy as jnp
+    from uncrtaints_tpu.train.loop import _device_batch
     sample = next(iter(test_loader))
-    sample_dev = {k: (jnp.asarray(v) if v is not None else None)
-                  for k, v in sample.items()}
+    sample_dev = _device_batch(sample, bsh if len(sample["y"]) % n_dev == 0
+                               else None)
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.rdm_seed),
                                sample_dev)
 
@@ -95,10 +102,14 @@ def main(cfg: Config) -> dict:
     state, meta = load_checkpoint(cfg, cfg.weight_folder, state, ckpt_name,
                                   restore_opt=False)
     epoch = meta.get("epoch", 1)
+    if bsh is not None:
+        # replicate AFTER the restore (the loader returns host arrays)
+        state = jax.device_put(state, replicated_sharding(bsh.mesh))
 
     eval_step = make_eval_step(cfg, with_metrics=True, donate_batch=True)
     state, metrics, img_metrics_val = iterate(
-        state, test_loader, cfg, writer, "test", epoch, eval_step=eval_step)
+        state, test_loader, cfg, writer, "test", epoch, eval_step=eval_step,
+        batch_sharding=bsh)
     print(f"Test loss {metrics['test_loss']}")
     print(f"Test image metrics: {img_metrics_val}")
     save_results(img_metrics_val, exp_dir, split="test")
