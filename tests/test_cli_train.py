@@ -107,6 +107,22 @@ def test_cli_test_end_to_end(tmp_path, monkeypatch):
     assert os.path.isfile(os.path.join(str(out_dir), "smoke",
                                        "test_metrics.json"))
 
+    # mesh-sharded eval: same checkpoint, batch sharded over a 2-device
+    # data mesh (params replicated). Metrics are sample-weighted, so the
+    # sharded run must reproduce the unsharded one up to reduction order.
+    scfg = cli_test.load_test_config([
+        "--experiment_name", "smoke",
+        "--weight_folder", str(tmp_path),
+        "--res_dir", str(tmp_path / "test_out_mesh"),
+        "--max_samples_count", "4",
+        "--batch_size", "4",
+        "--input_t", "3",
+        "--mesh_shape", "2",
+    ])
+    sharded = cli_test.main(scfg)
+    for key in ("RMSE", "MAE", "PSNR", "SSIM"):
+        assert sharded[key] == pytest.approx(metrics[key], rel=1e-4), key
+
 
 def test_cli_train_pretrain_mono(tmp_path):
     """End-to-end mono pretrain (--model unet): derive forces pretrain /
