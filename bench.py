@@ -336,11 +336,11 @@ if __name__ == "__main__":
             if args.train:
                 cmd.append("--train")
             sys.exit(subprocess.run(cmd).returncode)
-        if (not oom and _os.environ.get("UNCR_AGG_KERNEL") != "0"
+        if (not oom and _os.environ.get("UNCR_AGG_KERNEL") == "1"
                 and _os.environ.get("UNCR_DW_GW") != "1"):
-            # the fused aggregation kernel is default-on for TPU eval but
-            # Mosaic-compiled only at runtime; if something non-OOM breaks,
-            # record a number on the XLA fallback path rather than nothing.
+            # opt-in Pallas kernels are Mosaic-compiled only at runtime; if
+            # an experiment env enabled one and something non-OOM breaks,
+            # record a number on the default XLA path rather than nothing.
             # Not taken for OOM (the kernel is never the cause) nor under
             # UNCR_DW_GW=1 (an A/B arm failure should be recorded as such,
             # not retried with the experiment flag still inherited).

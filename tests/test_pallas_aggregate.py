@@ -76,6 +76,13 @@ def test_aggregator_eval_dispatches_to_kernel(rng, monkeypatch):
 
     monkeypatch.setattr(agg_mod, "att_group_aggregate", spy)
     monkeypatch.setattr(agg_mod.jax, "default_backend", lambda: "tpu")
+
+    # the kernel is opt-in (it lost the round-3 on-chip A/B): without
+    # UNCR_AGG_KERNEL=1 even a TPU backend stays on the XLA repeat form
+    agg.apply(av, x, attn_mask=a)
+    assert not calls, "kernel dispatched without UNCR_AGG_KERNEL=1"
+
+    monkeypatch.setenv("UNCR_AGG_KERNEL", "1")
     fused = agg.apply(av, x, attn_mask=a)
     assert calls, "eval path did not dispatch to the fused kernel"
     np.testing.assert_allclose(np.asarray(fused), np.asarray(baseline),
@@ -91,7 +98,7 @@ def test_aggregator_eval_dispatches_to_kernel(rng, monkeypatch):
               rngs={"dropout": jax.random.PRNGKey(1)})
     assert calls
 
-    # explicit off switch wins
+    # explicit off switch wins even with the opt-in previously set
     calls.clear()
     monkeypatch.setenv("UNCR_AGG_KERNEL", "0")
     agg.apply(av, x, attn_mask=a)

@@ -65,24 +65,21 @@ class TemporalAggregator(nn.Module):
             if pad_mask is not None:
                 attn = attn * (~pad_mask)[:, :, None, None, None].astype(attn.dtype)
             heads = attn.shape[-1]
+            # The fused Pallas kernel is OPT-IN (UNCR_AGG_KERNEL=1): the
+            # round-3 on-chip A/B at the bench shape (B=8, 256px, T=3)
+            # measured 230.3 seq/s with the kernel vs 232.7 on this XLA
+            # repeat form, and the kernel's bf16-internal accumulation adds
+            # 4.8e-3 max-abs error on f32 inputs (tools/r3_kernel_probe.py).
+            # It remains available (and mesh-partitionable via its
+            # custom_partitioning rule) for shapes where the XLA relayout
+            # does hurt; UNCR_AGG_TRAIN=1 additionally enables the
+            # custom-VJP train path.
             use_kernel = (C % heads == 0
                           and jax.default_backend() == "tpu"
+                          and os.environ.get("UNCR_AGG_KERNEL") == "1"
                           and (not train
                                or os.environ.get("UNCR_AGG_TRAIN") == "1"))
-            # sharded callers are fine: the op carries a custom_partitioning
-            # rule (row-pointwise over b/h/w, t/c/heads kept whole per
-            # shard), tested on the 8-device mesh for fwd and bwd.
-            # UNCR_AGG_KERNEL=0 is the escape hatch.
-            if os.environ.get("UNCR_AGG_KERNEL") == "0":
-                use_kernel = False
             if use_kernel:
-                # fused Pallas kernel: head-expansion happens ON-CHIP via a
-                # 0/1 indicator matmul, never splitting the 128-lane channel
-                # dim and never materializing the expanded attention to HBM
-                # (see ops/pallas_aggregate.py for the measured XLA failure
-                # modes this sidesteps). Train-path dispatch (custom-VJP
-                # fused backward) is gated behind UNCR_AGG_TRAIN=1 until the
-                # on-chip A/B (tools/r3_sweep.py) proves it out.
                 return att_group_aggregate(x, attn)
             # head-major channel grouping (channel c belongs to head
             # c // (C//heads), uncrtaints.py:188-198) expressed as an
