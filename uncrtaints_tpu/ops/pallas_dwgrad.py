@@ -12,10 +12,12 @@ This kernel computes all kh*kw taps in (close to) one pass:
     gw[dy,dx,c] = sum_{n,h,w} xp[n, h+dy, w+dx, c] * g[n, h, w, c]
 
 Row shifts (dy) are free (major-dim slices of a VMEM window). Column
-shifts (dx) are NOT free on TPU (Mosaic sublane rolls measured 26 GB/s in
-ops/pallas_mbconv.py kernel B), so each dx gets its own HBM->VMEM DMA of a
-column-offset window: kw reads of x + 1 read of g instead of the XLA
-form's ~kh*kw reads of each.
+shifts (dx) happen as in-VMEM value slices of one full-width window per
+block: ONE read of x + 1 read of g from HBM. (The earlier design issued a
+column-offset HBM->VMEM DMA per dx, but Mosaic requires DMA slices to be
+aligned to the (8,128) tiling on the two minor dims -- dx=1/2 offsets and
+C<128 slices are rejected on real v5e -- so the shift cost moved to the
+sublane relayout of the VMEM slice, bounded by VMEM bandwidth.)
 
 Status: numerics verified in interpret mode (tests/test_pallas_dwgrad.py);
 wired behind UNCR_DW_GW=1 in models/layers.py until measured on hardware
@@ -39,24 +41,25 @@ def _interpret_default():
 
 
 def _mk_kernel(kh: int, kw: int, th: int, W: int, C: int, nt: int):
-    def kernel(xp_hbm, g_ref, out_ref, xwin, sems):
+    def kernel(xp_hbm, g_ref, out_ref, xwin, sem):
         n = pl.program_id(0)
         t = pl.program_id(1)
         row0 = t * th
-        # start ALL column-offset window DMAs up front; waits interleave
-        # with the tap compute so later windows stream in behind dx=0
-        dmas = []
-        for dx in range(kw):
-            dma = pltpu.make_async_copy(
-                xp_hbm.at[n, pl.ds(row0, th + kh - 1), pl.ds(dx, W)],
-                xwin.at[dx], sems.at[dx])
-            dma.start()
-            dmas.append(dma)
+        # ONE full-width window DMA per block. Column-offset DMAs (a
+        # pl.ds(dx, W) slice of the W dim, and any C slice when C < 128)
+        # are rejected by Mosaic -- HBM->VMEM copies must be aligned to
+        # the (8,128) tiling on the two minor dims (measured on v5e:
+        # "Slice shape along dimension 3 must be aligned to tiling").
+        # The dx shifts happen below as in-VMEM value slices instead,
+        # which Mosaic lowers with a sublane relayout.
+        dma = pltpu.make_async_copy(
+            xp_hbm.at[n, pl.ds(row0, th + kh - 1)], xwin, sem)
+        dma.start()
         g32 = g_ref[0].astype(jnp.float32)                 # [th, W, C]
-        for dx in range(kw):
-            dmas[dx].wait()
-            for dy in range(kh):
-                tap = xwin[dx, dy:dy + th].astype(jnp.float32)
+        dma.wait()
+        for dy in range(kh):
+            for dx in range(kw):
+                tap = xwin[dy:dy + th, dx:dx + W].astype(jnp.float32)
                 part = (tap * g32).sum(axis=(0, 1))         # [C]
                 out_ref[0, 0, dy * kw + dx] = part
 
@@ -81,7 +84,18 @@ def dw_kernel_grad(x: jax.Array, g: jax.Array,
     Ho, Wo = H + pt + pb - kh + 1, W + pl_ + pr - kw + 1
     assert g.shape == (N, Ho, Wo, C), (g.shape, (N, Ho, Wo, C))
 
-    xp = jnp.pad(x, [(0, 0), (pt, pb), (pl_, pr), (0, 0)])
+    # Mosaic DMA windows must be aligned to the (8,128) tiling on the two
+    # minor dims: pad the x width to a multiple of 8 and the channel dim
+    # to a multiple of 128 so the per-block window DMA slices only the
+    # (untiled) row dim. The zero columns beyond Wp are never read by any
+    # tap (dx + Wo <= Wp); zero channels fall off the final slice.
+    Wp = W + pl_ + pr
+    W8 = -(-Wp // 8) * 8
+    C128 = -(-C // 128) * 128
+    xp = jnp.pad(x, [(0, 0), (pt, pb), (pl_, pr + (W8 - Wp)),
+                     (0, C128 - C)])
+    gp = jnp.pad(g, [(0, 0), (0, 0), (0, 0), (0, C128 - C)]) \
+        if C128 != C else g
 
     th = min(tile_h, Ho)
     while Ho % th:
@@ -91,28 +105,28 @@ def dw_kernel_grad(x: jax.Array, g: jax.Array,
         interpret = _interpret_default()
 
     parts = pl.pallas_call(
-        _mk_kernel(kh, kw, th, Wo, C, nt),
+        _mk_kernel(kh, kw, th, Wo, C128, nt),
         grid=(N, nt),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            # full padded x stays in HBM; the kernel DMAs column-offset
-            # windows (kw strided reads instead of kh*kw full passes)
+            # full padded x stays in HBM; the kernel DMAs one aligned
+            # full-width window per block (dx shifts are VMEM slices)
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, th, Wo, C), lambda n, t: (n, t, 0, 0),
+            pl.BlockSpec((1, th, Wo, C128), lambda n, t: (n, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 16, C), lambda n, t: (n, t, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 16, C128), lambda n, t: (n, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, nt, 16, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, nt, 16, C128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((kw, th + kh - 1, Wo, C), x.dtype),
-            pltpu.SemaphoreType.DMA((kw,)),
+            pltpu.VMEM((th + kh - 1, W8, C128), x.dtype),
+            pltpu.SemaphoreType.DMA,
         ],
-    )(xp, g)
-    gw = parts.sum(axis=(0, 1))[:kh * kw]                  # [kh*kw, C]
+    )(xp, gp)
+    gw = parts.sum(axis=(0, 1))[:kh * kw, :C]              # [kh*kw, C]
     return gw.reshape(kh, kw, 1, C)
 
 
