@@ -164,6 +164,12 @@ def test_two_real_processes_end_to_end():
         return {
             "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
             "HOME": os.environ.get("HOME", "/root"),
+            # the child must import uncrtaints_tpu from a CLEAN checkout
+            # (no editable install): python puts the CHILD SCRIPT's dir
+            # (tests/) on sys.path, not the cwd, so the repo root has to be
+            # injected explicitly. Prepend it to any caller PYTHONPATH so an
+            # installed copy never shadows the checkout under test.
+            "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
             "COORDINATOR_ADDRESS": f"localhost:{port}",
