@@ -68,12 +68,14 @@ class TemporalAggregator(nn.Module):
             # The fused Pallas kernel is OPT-IN (UNCR_AGG_KERNEL=1): the
             # round-3 on-chip A/B at the bench shape (B=8, 256px, T=3)
             # measured 230.3 seq/s with the kernel vs 232.7 on this XLA
-            # repeat form, and the kernel's bf16-internal accumulation adds
-            # 4.8e-3 max-abs error on f32 inputs (tools/r3_kernel_probe.py).
-            # It remains available (and mesh-partitionable via its
-            # custom_partitioning rule) for shapes where the XLA relayout
-            # does hurt; UNCR_AGG_TRAIN=1 additionally enables the
-            # custom-VJP train path.
+            # repeat form. (Round 3 also saw 4.8e-3 max-abs fwd error on f32
+            # inputs: the kernel accumulates in f32, but the default-
+            # precision MXU indicator matmul rounded the f32 attention to
+            # bf16; fixed in round 4 with Precision.HIGHEST — exact to
+            # <1e-6 on hardware since sel is 0/1.) It remains available
+            # (and mesh-partitionable via its custom_partitioning rule) for
+            # shapes where the XLA relayout does hurt; UNCR_AGG_TRAIN=1
+            # additionally enables the custom-VJP train path.
             use_kernel = (C % heads == 0
                           and jax.default_backend() == "tpu"
                           and os.environ.get("UNCR_AGG_KERNEL") == "1"

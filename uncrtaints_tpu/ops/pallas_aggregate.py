@@ -55,7 +55,12 @@ def _mk_kernel(T: int, heads: int, C: int):
         col_h = jax.lax.broadcasted_iota(jnp.int32, (heads, C), 1) // cg
         row_h = jax.lax.broadcasted_iota(jnp.int32, (heads, C), 0)
         sel = (col_h == row_h).astype(jnp.float32)       # [heads, C]
-        ex = jnp.dot(a32, sel, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the default MXU matmul rounds the f32 attention
+        # to bf16 even though sel is an exact 0/1 matrix, which was the whole
+        # source of the 4.8e-3 fwd error measured in round 3. Multi-pass f32
+        # is ~free here (K=heads=16, the kernel is HBM-bound).
+        ex = jnp.dot(a32, sel, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         term = ex * x_ref[0].astype(jnp.float32)         # [tile, C]
 
         @pl.when(t == 0)
@@ -141,11 +146,16 @@ def _mk_bwd_kernel(T: int, heads: int, C: int):
         col_h = jax.lax.broadcasted_iota(jnp.int32, (heads, C), 1) // cg
         row_h = jax.lax.broadcasted_iota(jnp.int32, (heads, C), 0)
         sel = (col_h == row_h).astype(jnp.float32)       # [heads, C]
-        ex = jnp.dot(a32, sel, preferred_element_type=jnp.float32)
+        # HIGHEST precision on both directions (see the forward kernel): the
+        # 0/1 expansion is then exact, and the head contraction accumulates
+        # xg in true f32 instead of bf16-rounded MXU passes
+        ex = jnp.dot(a32, sel, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         dx_ref[0] = (ex * g32).astype(dx_ref.dtype)
         xg = x_ref[0].astype(jnp.float32) * g32          # [tile, C]
         da_ref[0] = jnp.dot(xg, sel.T,
-                            preferred_element_type=jnp.float32
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST
                             ).astype(da_ref.dtype)       # [tile, heads]
 
     return kernel
