@@ -43,7 +43,7 @@ if [ $DW_OK -eq 1 ]; then
 fi
 
 echo "== $(date) full sweep =="
-timeout 7200 python tools/r3_sweep.py > $OUT/sweep.jsonl 2> $OUT/sweep.err
+timeout 7200 python tools/sweep.py > $OUT/sweep.jsonl 2> $OUT/sweep.err
 echo "rc=$?"; cat $OUT/sweep.jsonl 2>/dev/null
 
 echo "== $(date) e2e bench =="

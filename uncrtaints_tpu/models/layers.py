@@ -91,9 +91,10 @@ def _dw_conv_same_fwd(x, w):
 def _use_pallas_dw_gw() -> bool:
     """Single-pass Pallas kernel-grad (ops/pallas_dwgrad.py) A/B gate: the
     XLA tap form re-reads x/g several times (~40 ms/step of per-channel
-    reduction fusions in the round-3 train profile); the kernel reads g
-    once and x kw times. Off until measured on hardware (tools/r3_sweep.py,
-    UNCR_DW_GW=1). Batch-sharded (dp) meshes are efficient: the
+    reduction fusions in the round-3 train profile); the kernel reads x
+    and g once per block (dx shifts are in-VMEM slices). Gated on
+    UNCR_DW_GW=1 pending the tools/sweep.py throughput A/B on hardware
+    (it compiles and runs on v5e). Batch-sharded (dp) meshes are efficient: the
     custom_partitioning rule in dw_kernel_grad_sharded runs the kernel on
     each batch shard and psums the [kh,kw,1,C] partials. SPATIALLY sharded
     callers (dp x sp whole-scene mesh) are numerically correct but costly:

@@ -19,9 +19,16 @@ aligned to the (8,128) tiling on the two minor dims -- dx=1/2 offsets and
 C<128 slices are rejected on real v5e -- so the shift cost moved to the
 sublane relayout of the VMEM slice, bounded by VMEM bandwidth.)
 
-Status: numerics verified in interpret mode (tests/test_pallas_dwgrad.py);
-wired behind UNCR_DW_GW=1 in models/layers.py until measured on hardware
-(tools/r3_sweep.py).
+Roofline caveat: when C is not a multiple of 128 the jnp.pad below
+materializes channel-padded copies of x (and g) in HBM, so actual traffic
+is ~2*(C128/C) reads of x + g plus the pad writes, not the one-read ideal
+-- e.g. C=64 pays ~2x. The model's dw convs run at C=128/256 where the
+pad is a no-op; skip this kernel (or tile channels) for small-C callers.
+
+Status: wired behind UNCR_DW_GW=1 in models/layers.py. Hardware: compiles
+and runs on v5e (tools/r3_kernel_probe.py, round 4); numerics verified in
+interpret mode (tests/test_pallas_dwgrad.py) and the train-loss A/B on
+chip; throughput A/B via tools/sweep.py.
 """
 
 from __future__ import annotations
