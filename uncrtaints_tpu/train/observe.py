@@ -6,7 +6,11 @@ coverage AND/OR stats, input/pred/target/mask image panels, variance images
 clipped to [0,1] and [0,q75], histograms, discard & calibration figures.
 
 Backend: tf.summary when tensorflow is importable (it is in this image),
-else a JSONL fallback (scalars only) so headless training never breaks.
+else a JSONL + file-artifact fallback so headless training never loses
+logs: scalars go to scalars.jsonl, and images/figures/histograms are
+persisted as PNG/NPY files under {logdir}/media/ with an index line in the
+JSONL (the reference always persists its figures,
+train_reconstruct.py:466-471 — a TB-less environment must too).
 Events land in {res_dir}/../logs/{experiment} like the reference.
 """
 
@@ -42,19 +46,42 @@ class Writer:
                 {"tag": tag, "value": value, "step": step}) + "\n")
             self._jsonl.flush()
 
+    def _media_path(self, tag: str, step: int, ext: str) -> str:
+        """Path for a fallback media artifact + an index line in the JSONL
+        (tags contain '/', sanitized to one flat path-safe filename)."""
+        safe = "".join(c if (c.isalnum() or c in "._-") else "_"
+                       for c in tag)
+        d = os.path.join(self.logdir, "media")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{safe}_step-{step}.{ext}")
+        self._jsonl.write(json.dumps(
+            {"tag": tag, "step": step, "file": os.path.relpath(
+                path, self.logdir)}) + "\n")
+        self._jsonl.flush()
+        return path
+
     def add_image(self, tag: str, img_hwc: np.ndarray, step: int):
         """img_hwc: [H, W, C] float in [0, 1] (or [N, H, W, C])."""
-        if self._writer is None:
-            return
         img = np.asarray(img_hwc, np.float32)
         if img.ndim == 3:
             img = img[None]
+        img = np.clip(img, 0, 1)
+        if self._writer is None:
+            import matplotlib
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+            panel = img[0]
+            plt.imsave(self._media_path(tag, step, "png"),
+                       panel.squeeze(-1) if panel.shape[-1] == 1 else panel,
+                       cmap="gray", vmin=0, vmax=1)
+            return
         with self._writer.as_default():
-            self._tf.summary.image(tag, np.clip(img, 0, 1), step=step,
+            self._tf.summary.image(tag, img, step=step,
                                    max_outputs=img.shape[0])
 
     def add_histogram(self, tag: str, values, step: int, bins: int = 256):
         if self._writer is None:
+            np.save(self._media_path(tag, step, "npy"), np.asarray(values))
             return
         with self._writer.as_default():
             self._tf.summary.histogram(tag, np.asarray(values), step=step,
@@ -63,6 +90,8 @@ class Writer:
     def add_figure(self, tag: str, fig, step: int):
         """Render a matplotlib figure to an image summary."""
         if self._writer is None:
+            fig.savefig(self._media_path(tag, step, "png"),
+                        format="png", dpi=100)
             return
         import io
         buf = io.BytesIO()
