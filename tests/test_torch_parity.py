@@ -40,18 +40,22 @@ def _build_reference_model(**kw):
     return model, defaults
 
 
-@pytest.mark.parametrize("block_type", ["mbconv"])
-def test_forward_parity_with_ported_weights(block_type):
+@pytest.mark.parametrize("block_type,use_v", [
+    ("mbconv", False),     # the paper-recipe default
+    ("residual", False),   # ResidualConvBlock path (uncrtaints.py:24-69)
+    ("mbconv", True),      # full L-TAE value path (ltae.py:10-141)
+])
+def test_forward_parity_with_ported_weights(block_type, use_v):
     import torch
     from uncrtaints_tpu.config import Config, derive
     from uncrtaints_tpu.models import get_generator
     from uncrtaints_tpu.models.torch_import import import_uncrtaints
 
-    ref_model, d = _build_reference_model(block_type=block_type)
+    ref_model, d = _build_reference_model(block_type=block_type, use_v=use_v)
     sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
 
     cfg = derive(Config(use_sar=True, scale_by=10.0, mean_nonLinearity=True,
-                        block_type=block_type))
+                        block_type=block_type, use_v=use_v))
     model = get_generator(cfg)
 
     rng = np.random.default_rng(0)

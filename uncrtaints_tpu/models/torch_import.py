@@ -123,16 +123,29 @@ def uncrtaints_mapping(cfg) -> Dict[str, Tuple[str, object]]:
         else:
             residual_block(f"in_block{i}", f"in_block.{i}", cfg.encoder_norm)
 
-    # temporal encoder (tiny L-TAE)
+    # temporal encoder: tiny L-TAE by default; --use_v swaps in the FULL
+    # LTAE2d (value path + MLP + out_norm, ltae.py:10-141,
+    # uncrtaints.py:324-338) plus the include_v fusion conv
     if not cfg.pretrain:
         te = "temporal_encoder"
-        norm(f"{te}/GroupNormCT_0", f"{te}.in_norm")
+        in_norm_path = f"{te}/in_norm" if cfg.use_v else f"{te}/GroupNormCT_0"
+        norm(in_norm_path, f"{te}.in_norm")
         m[f"{te}/inconv/kernel"] = (f"{te}.inconv.weight", _conv1d_w)
         m[f"{te}/inconv/bias"] = (f"{te}.inconv.bias", ident)
         m[f"{te}/Q"] = (f"{te}.attention_heads.Q", ident)
         m[f"{te}/fc1_k/kernel"] = (f"{te}.attention_heads.fc1_k.weight", _lin_w)
         m[f"{te}/fc1_k/bias"] = (f"{te}.attention_heads.fc1_k.bias", ident)
         if cfg.use_v:
+            # MLP: Linear -> BatchNorm1d -> ReLU (ltae.py:74-84); with
+            # mlp=[d_model, encoder_widths[0]] there is exactly one stage
+            m[f"{te}/Dense_0/kernel"] = (f"{te}.mlp.0.weight", _lin_w)
+            m[f"{te}/Dense_0/bias"] = (f"{te}.mlp.0.bias", ident)
+            m[f"{te}/BatchNorm_0/scale"] = (f"{te}.mlp.1.weight", ident)
+            m[f"{te}/BatchNorm_0/bias"] = (f"{te}.mlp.1.bias", ident)
+            m[f"B:{te}/BatchNorm_0/mean"] = (f"{te}.mlp.1.running_mean", ident)
+            m[f"B:{te}/BatchNorm_0/var"] = (f"{te}.mlp.1.running_var", ident)
+            m[f"{te}/out_norm/scale"] = (f"{te}.out_norm.weight", ident)
+            m[f"{te}/out_norm/bias"] = (f"{te}.out_norm.bias", ident)
             conv("include_v", "include_v")
 
     # decoder
