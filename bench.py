@@ -36,20 +36,55 @@ import jax.numpy as jnp
 V100_REFERENCE_SEQ_PER_SEC = 23.9        # eval: 0.199 * 120
 V100_REFERENCE_TRAIN_SEQ_PER_SEC = 3.94  # train: 0.0328 * 120
 
+# v5e single-chip peaks (published spec) for the hardware-grounded
+# utilization numbers: MFU against the bf16 MXU peak (the model's compute
+# dtype) and the HBM-roofline fraction against peak memory bandwidth.
+V5E_PEAK_BF16_FLOPS_PER_SEC = 197e12
+V5E_PEAK_HBM_BYTES_PER_SEC = 819e9
+
+
+def _hardware_utilization(step_fn, step_args, step_seconds: float) -> dict:
+    """MFU + HBM-roofline fraction from the compiled step's own cost
+    analysis (flops and bytes accessed per step) over the measured wall
+    time. Grounds the perf claim in hardware truth, unlike the extrapolated
+    V100 anchor; the reference's equivalent was fvcore FLOP counting under
+    --profile (base_model.py:64-71). Returns {} off-TPU or when the backend
+    exposes no cost model."""
+    if jax.default_backend() != "tpu":
+        return {}
+    try:
+        cost = step_fn.lower(*step_args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        hbm_bytes = float(cost.get("bytes accessed", 0.0))
+    except Exception as e:
+        sys.stderr.write(f"cost analysis unavailable: {e}\n")
+        return {}
+    out = {}
+    if flops > 0:
+        tflops = flops / step_seconds / 1e12
+        out["tflops_per_sec"] = round(tflops, 2)
+        out["mfu"] = round(tflops * 1e12 / V5E_PEAK_BF16_FLOPS_PER_SEC, 4)
+    if hbm_bytes > 0:
+        out["hbm_fraction"] = round(
+            hbm_bytes / step_seconds / V5E_PEAK_HBM_BYTES_PER_SEC, 4)
+    return out
+
 
 def main(train: bool = False, batch_size: int = None):
     from uncrtaints_tpu.config import Config, derive, input_dim
     from uncrtaints_tpu.models import get_generator
     from uncrtaints_tpu.train import create_train_state, make_eval_step, make_train_step
 
-    # eval: B=8 -- the round-3 measured best (232 seq/s after the tanh-GELU
-    # and aggregator work; B=16 was the round-2 sweet spot at 199 but has
-    # since repeatedly exhausted device buffers through the axon tunnel --
-    # see tools/r3_sweep.py for the standing A/B).
+    # eval: B=16 -- the round-4 on-chip sweep measured 244.6 seq/s at B=16
+    # vs 233.5 at B=8 (the round-3 B=16 buffer exhaustion was a transient
+    # tunnel condition; the OOM fallback below retries at B=8, the
+    # known-good shape, in a fresh process if it recurs).
     # train: B=4 (the paper recipe, README.md:76-79) -- the backward pass at
     # B=8 exceeds comfortable HBM headroom on a single v5e chip.
     if batch_size is None:
-        batch_size = 4 if train else 8
+        batch_size = 4 if train else 16
     cfg = derive(Config(use_sar=True, scale_by=10.0,
                         batch_size=batch_size, lr=1e-3))
     model = get_generator(cfg)
@@ -95,6 +130,10 @@ def main(train: bool = False, batch_size: int = None):
     seq_per_sec = iters * B / dt
     anchor = (V100_REFERENCE_TRAIN_SEQ_PER_SEC if train
               else V100_REFERENCE_SEQ_PER_SEC)
+    if train:
+        util = _hardware_utilization(step_fn, (state, batch, drng), dt / iters)
+    else:
+        util = _hardware_utilization(eval_step, (state, batch), dt / iters)
     import os
     print(json.dumps({
         "metric": name,
@@ -111,6 +150,11 @@ def main(train: bool = False, batch_size: int = None):
         # varies per round (observed 1 core in round 3) -- record it so
         # wall-vs-device gaps are interpretable across rounds
         "host_cpus": os.cpu_count(),
+        # hardware-grounded utilization (compiled-step cost analysis over
+        # measured wall time): tflops_per_sec, mfu (vs v5e bf16 peak),
+        # hbm_fraction (vs v5e peak HBM bandwidth -- the honest roofline
+        # for this memory-bound model)
+        **util,
     }))
 
 
@@ -328,8 +372,9 @@ if __name__ == "__main__":
         if oom and args.batch is None:
             # device-buffer exhaustion through axon is flaky: retry smaller
             # in a FRESH process (the failed attempt's buffers are not
-            # reliably reclaimed in-process through the tunnel)
-            fallback = 2 if args.train else 4
+            # reliably reclaimed in-process through the tunnel). Eval falls
+            # back to B=8 (the round-3 headline shape, 233 seq/s).
+            fallback = 2 if args.train else 8
             sys.stderr.write(f"default batch exhausted device buffers; "
                              f"retrying at B={fallback} in a clean process\n")
             cmd = [sys.executable, __file__, "--batch", str(fallback)]
