@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e CLI chains (see pyproject markers)
+
 
 def _tiny_cfg(tmp_path, **overrides):
     from uncrtaints_tpu.config import Config, derive

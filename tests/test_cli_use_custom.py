@@ -12,6 +12,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e CLI chains (see pyproject markers)
+
 HW = 8          # per-patch size; mosaic = [C, 8, 72]
 PATCHES = [171, 172, 173, 187, 188, 189, 203, 204, 205]
 

@@ -108,6 +108,7 @@ def test_ensemble_count_mismatch_asserts(tmp_path, monkeypatch):
         ens.main(_args(members=[m1]))
 
 
+@pytest.mark.slow
 def test_ensemble_full_chain_from_trained_members(tmp_path, monkeypatch):
     """The reference's complete deep-ensemble workflow through the REAL
     CLIs: train two members on the synthetic twin (the final test pass

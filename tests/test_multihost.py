@@ -143,6 +143,7 @@ def test_host_row_offset_from_sharding():
     assert _host_row_offset(fake0, 2) == 0
 
 
+@pytest.mark.slow
 def test_two_real_processes_end_to_end():
     """REAL 2-process multi-host run on the CPU backend (4 virtual devices
     per process -> one global 8-device mesh): distributed init via bare
