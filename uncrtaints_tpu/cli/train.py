@@ -197,9 +197,6 @@ def main(cfg: Config) -> dict:
     cfg.save_json(os.path.join(exp_dir, "conf.json"))
 
     train_step = make_train_step(cfg)
-    # off the display_step cadence the pred/var outputs are never read;
-    # the light variant skips their fp32 materialization (engine docstring)
-    train_step_light = make_train_step(cfg, with_outputs=False)
     eval_step = make_eval_step(cfg, with_metrics=True, donate_batch=True)
     base_rng = dropout_rng(cfg, cfg.rdm_seed)
 
@@ -238,8 +235,7 @@ def main(cfg: Config) -> dict:
 
         state, train_metrics, _ = iterate(
             state, train_loader, cfg, writer, "train", epoch,
-            train_step=train_step, base_rng=base_rng, batch_sharding=bsh,
-            train_step_light=train_step_light)
+            train_step=train_step, base_rng=base_rng, batch_sharding=bsh)
 
         if epoch % cfg.val_every == 0 and epoch > cfg.val_after:
             print("Validation . . . ")

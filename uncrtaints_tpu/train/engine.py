@@ -120,20 +120,19 @@ def _cast_for_forward(cfg: Config, params, x):
     return cast(params), x.astype(dt)
 
 
-def make_train_step(cfg: Config, with_outputs: bool = True) -> Callable:
+def make_train_step(cfg: Config) -> Callable:
     """Build the jitted train step. Batch dict (already on device):
     x [B,T,H,W,C], y [B,1,H,W,13], dates [B,T] or None, masks (unused here).
 
     Returns (new_state, aux) with aux = {loss, pred, var} where pred/var are
     already rescaled back to data units (scale_by protocol).
 
-    ``with_outputs=False`` drops pred/var from aux: they are consumed only
-    at the ``display_step`` logging cadence (train_reconstruct.py:381-387),
-    yet as jit outputs they force the fp32 mean/variance tensors to be
-    written out every step (~27 MB/step at B=4 256px). Without them XLA
-    DCEs the final materialization, so the training loop uses this light
-    step off-cadence and the full step only on logging steps (same
-    two-variant pattern as make_eval_step's with_metrics).
+    (Measured negative, round 4: a ``with_outputs=False`` variant that
+    dropped pred/var from aux — letting XLA DCE their final fp32 writes on
+    the off-logging-cadence steps — changed NOTHING on chip: 26.26 vs
+    26.28 seq/s at B=4, 30.73 vs 30.76 at B=8+remat. With the batch donated
+    the output writes already overlap compute, so the two-variant wiring
+    was reverted rather than kept as dead complexity.)
 
     ``cfg.accum_steps > 1`` enables gradient accumulation: the batch is
     split into that many microbatches, a ``lax.scan`` accumulates fp32
@@ -150,7 +149,7 @@ def make_train_step(cfg: Config, with_outputs: bool = True) -> Callable:
     s = cfg.scale_by
     k = max(1, int(getattr(cfg, "accum_steps", 1) or 1))
     if k > 1:
-        return _make_accum_train_step(cfg, criterion, s, k, with_outputs)
+        return _make_accum_train_step(cfg, criterion, s, k)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, dropout_rng) -> Tuple[TrainState, Dict]:
@@ -183,18 +182,15 @@ def make_train_step(cfg: Config, with_outputs: bool = True) -> Callable:
 
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=new_bs, opt_state=new_opt)
-        aux = {"loss": loss}
-        if with_outputs:
-            aux["pred"] = mean / s
-            if variance is not None:
-                aux["var"] = variance / (s * s)
+        aux = {"loss": loss, "pred": mean / s}
+        if variance is not None:
+            aux["var"] = variance / (s * s)
         return new_state, aux
 
     return train_step
 
 
-def _make_accum_train_step(cfg: Config, criterion, s: float, k: int,
-                           with_outputs: bool = True):
+def _make_accum_train_step(cfg: Config, criterion, s: float, k: int):
     """Gradient-accumulation variant of the train step (see make_train_step)."""
     has_var = cfg.loss in ("GNLL", "MGNLL")  # scan can't stack None leaves
 
@@ -250,12 +246,10 @@ def _make_accum_train_step(cfg: Config, criterion, s: float, k: int,
 
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=new_bs, opt_state=new_opt)
-        aux = {"loss": losses.mean()}
-        if with_outputs:
-            aux["pred"] = means.reshape((B,) + means.shape[2:]) / s
-            if has_var:
-                aux["var"] = variances.reshape(
-                    (B,) + variances.shape[2:]) / (s * s)
+        mean_full = means.reshape((B,) + means.shape[2:])
+        aux = {"loss": losses.mean(), "pred": mean_full / s}
+        if has_var:
+            aux["var"] = variances.reshape((B,) + variances.shape[2:]) / (s * s)
         return new_state, aux
 
     return train_step

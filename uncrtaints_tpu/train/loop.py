@@ -183,18 +183,11 @@ def _device_prefetch(loader, sharding, depth: int = 2):
 
 def iterate(state, loader, cfg: Config, writer: Optional[Writer],
             mode: str, epoch: int, train_step=None, eval_step=None,
-            base_rng: Optional[jax.Array] = None, batch_sharding=None,
-            train_step_light=None) -> Tuple:
+            base_rng: Optional[jax.Array] = None, batch_sharding=None) -> Tuple:
     """One epoch over ``loader``. Returns (state, metrics, img_metrics|None).
 
     metrics: {f'{mode}_epoch_time', f'{mode}_loss'}; for val/test also the
-    averaged image metrics dict (as the reference returns them).
-
-    ``train_step_light`` (engine.make_train_step(with_outputs=False)) is
-    used on the off-logging-cadence steps where aux['pred']/aux['var'] are
-    never read, skipping their fp32 materialization each step; the full
-    ``train_step`` runs only on display_step steps (and always when no
-    light variant is given)."""
+    averaged image metrics dict (as the reference returns them)."""
     if len(loader) == 0:
         raise ValueError("Received data loader with zero samples!")
     if base_rng is None:
@@ -211,11 +204,7 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
         step = (epoch - 1) * len(loader) + i
 
         if mode == "train":
-            logging_step = (writer is not None
-                            and step % cfg.display_step == 0)
-            fn = (train_step if logging_step or train_step_light is None
-                  else train_step_light)
-            state, aux = fn(state, dev, jax.random.fold_in(base_rng, step))
+            state, aux = train_step(state, dev, jax.random.fold_in(base_rng, step))
             # keep the loss ON DEVICE: a float() here would sync the host
             # to the device every step (one dispatch round-trip per step —
             # especially costly through a remote-tunnel runtime); steps
