@@ -19,6 +19,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -81,10 +82,13 @@ def main(train: bool = False, batch_size: int = None):
     # vs 233.5 at B=8 (the round-3 B=16 buffer exhaustion was a transient
     # tunnel condition; the OOM fallback below retries at B=8, the
     # known-good shape, in a fresh process if it recurs).
-    # train: B=4 (the paper recipe, README.md:76-79) -- the backward pass at
-    # B=8 exceeds comfortable HBM headroom on a single v5e chip.
+    # train: B=8 WITHOUT remat -- the round-4 sweep's throughput optimum
+    # (39.75 seq/s vs 26.3 at the paper-recipe B=4 and 30.8 at B=8+remat;
+    # the round-2 "B=8 backward exceeds HBM headroom" no longer holds after
+    # the round-3 memory work). The paper-recipe arm stays available via
+    # --train --batch 4.
     if batch_size is None:
-        batch_size = 4 if train else 16
+        batch_size = 8 if train else 16
     cfg = derive(Config(use_sar=True, scale_by=10.0,
                         batch_size=batch_size, lr=1e-3))
     model = get_generator(cfg)
@@ -261,6 +265,7 @@ def main_e2e(batch_size: int = 16, n_patches: int = 64, epochs: int = 4,
         "vs_baseline_estimated": True,
         "baseline_source": "cpu_measured_x_peak_flops_ratio",
         "host_pipeline_only_seq_per_sec": round(host_rate, 2),
+        "host_cpus": os.cpu_count(),
         "includes_image_metrics": True,  # fused into the step (CLI path)
     }))
 
@@ -372,9 +377,10 @@ if __name__ == "__main__":
         if oom and args.batch is None:
             # device-buffer exhaustion through axon is flaky: retry smaller
             # in a FRESH process (the failed attempt's buffers are not
-            # reliably reclaimed in-process through the tunnel). Eval falls
-            # back to B=8 (the round-3 headline shape, 233 seq/s).
-            fallback = 2 if args.train else 8
+            # reliably reclaimed in-process through the tunnel). Each mode
+            # falls back to its known-good smaller shape: eval B=8 (233
+            # seq/s round 3), train B=4 (the paper recipe, 26.3 seq/s).
+            fallback = 4 if args.train else 8
             sys.stderr.write(f"default batch exhausted device buffers; "
                              f"retrying at B={fallback} in a clean process\n")
             cmd = [sys.executable, __file__, "--batch", str(fallback)]

@@ -5,11 +5,15 @@ device-buffer state can't leak between configs through the axon tunnel):
 
   eval  B in {8, 12, 16}              -- default XLA path
   eval  B in {8, 16} + UNCR_AGG_KERNEL=1 (fused Pallas aggregation)
-  train B in {4, 8} x {remat, no}     -- baseline (full-aux step)
-  train light step (with_outputs=False, the loop's off-cadence default)
+  train B in {4, 8, 12, 16} x {remat, no}  -- batch/remat matrix (B=8
+        no-remat measured best in round 4: 39.75 seq/s)
   train + UNCR_DW_GW=1                -- single-pass Pallas dw kernel-grad
   train + --prng_impl rbg             -- dropout-noise generator A/B
   train + UNCR_AGG_TRAIN=1            -- train-path pallas aggregator
+
+(The round-4 aux-less "light" train-step arm measured a no-op -- 26.26 vs
+26.28 seq/s at B=4, 30.73 vs 30.76 at B=8+remat -- and was removed along
+with the engine variant it tested; see train/engine.py.)
 
 Usage:  python tools/sweep.py [--quick]
 Writes one JSON line per config to stdout and /tmp/r4_sweep.jsonl.
@@ -25,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, sys, time
 import numpy as np, jax, jax.numpy as jnp
-mode, B, remat, prng, agg_train, iters, light = sys.argv[1:8]
+mode, B, remat, prng, agg_train, iters = sys.argv[1:7]
 B, iters = int(B), int(iters)
 # agg_train is communicated via UNCR_AGG_TRAIN in the env (set by the
 # parent), read by models/aggregator.py at trace time
@@ -45,7 +49,7 @@ batch = {
 }
 state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
 if mode == "train":
-    step = make_train_step(cfg, with_outputs=(light != "1"))
+    step = make_train_step(cfg)
     key = jax.random.fold_in(dropout_rng(cfg, 1), 0)
     run = lambda st: step(st, batch, key)
 else:
@@ -62,7 +66,6 @@ dt = time.perf_counter() - t0
 import os as _os
 print(json.dumps({"mode": mode, "B": B, "remat": remat == "1",
                   "prng": prng, "agg_train": agg_train == "1",
-                  "light": light == "1",
                   "dw_gw": _os.environ.get("UNCR_DW_GW") == "1",
                   "agg_kernel": _os.environ.get("UNCR_AGG_KERNEL") == "1",
                   "seq_per_sec": round(iters * B / dt, 2),
@@ -71,8 +74,7 @@ print(json.dumps({"mode": mode, "B": B, "remat": remat == "1",
 
 
 def run_cfg(mode, B, remat=False, prng="threefry2x32", agg_train=False,
-            dw_gw=False, agg_kernel=False, light=False, iters=20,
-            timeout=900):
+            dw_gw=False, agg_kernel=False, iters=20, timeout=900):
     env = dict(os.environ)
     if agg_train:
         env["UNCR_AGG_TRAIN"] = "1"
@@ -82,20 +84,20 @@ def run_cfg(mode, B, remat=False, prng="threefry2x32", agg_train=False,
         env["UNCR_AGG_KERNEL"] = "1"
     cmd = [sys.executable, "-c", CHILD, mode, str(B),
            "1" if remat else "0", prng, "1" if agg_train else "0",
-           str(iters), "1" if light else "0"]
+           str(iters)]
     try:
         p = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
                            text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
         return {"mode": mode, "B": B, "remat": remat, "prng": prng,
-                "agg_train": agg_train, "dw_gw": dw_gw, "light": light,
+                "agg_train": agg_train, "dw_gw": dw_gw,
                 "agg_kernel": agg_kernel, "error": "timeout"}
     line = (p.stdout.strip().splitlines() or [""])[-1]
     try:
         return json.loads(line)
     except json.JSONDecodeError:
         return {"mode": mode, "B": B, "remat": remat, "prng": prng,
-                "agg_train": agg_train, "dw_gw": dw_gw, "light": light,
+                "agg_train": agg_train, "dw_gw": dw_gw,
                 "agg_kernel": agg_kernel, "error": p.stderr[-500:]}
 
 
@@ -104,22 +106,20 @@ def main():
     configs = [
         ("eval", dict(B=8)),
         ("eval", dict(B=16)),
+        ("train", dict(B=8)),
         ("train", dict(B=4)),
-        ("train", dict(B=4, light=True)),
-        ("train", dict(B=8, remat=True, light=True)),
     ] + ([] if quick else [
         ("eval", dict(B=12)),
         ("eval", dict(B=8, agg_kernel=True)),
         ("eval", dict(B=16, agg_kernel=True)),
+        ("train", dict(B=12)),
+        ("train", dict(B=16)),
         ("train", dict(B=8, remat=True)),
         ("train", dict(B=4, remat=True)),
-        ("train", dict(B=8)),
-        ("train", dict(B=4, prng="rbg", light=True)),
-        ("train", dict(B=8, remat=True, prng="rbg", light=True)),
-        ("train", dict(B=4, agg_train=True, light=True)),
-        ("train", dict(B=8, remat=True, agg_train=True, light=True)),
-        ("train", dict(B=4, dw_gw=True, light=True)),
-        ("train", dict(B=8, remat=True, dw_gw=True, light=True)),
+        ("train", dict(B=8, dw_gw=True)),
+        ("train", dict(B=4, dw_gw=True)),
+        ("train", dict(B=8, prng="rbg")),
+        ("train", dict(B=8, agg_train=True)),
     ])
     out_path = "/tmp/r4_sweep.jsonl"
     with open(out_path, "a") as f:
@@ -128,6 +128,7 @@ def main():
             line = json.dumps(res)
             print(line, flush=True)
             f.write(line + "\n")
+            f.flush()
     print(f"# appended to {out_path}", file=sys.stderr)
 
 
