@@ -65,17 +65,18 @@ class TemporalAggregator(nn.Module):
             if pad_mask is not None:
                 attn = attn * (~pad_mask)[:, :, None, None, None].astype(attn.dtype)
             heads = attn.shape[-1]
-            # The fused Pallas kernel is OPT-IN (UNCR_AGG_KERNEL=1): the
-            # round-3 on-chip A/B at the bench shape (B=8, 256px, T=3)
-            # measured 230.3 seq/s with the kernel vs 232.7 on this XLA
-            # repeat form. (Round 3 also saw 4.8e-3 max-abs fwd error on f32
-            # inputs: the kernel accumulates in f32, but the default-
-            # precision MXU indicator matmul rounded the f32 attention to
-            # bf16; fixed in round 4 with Precision.HIGHEST — exact to
-            # <1e-6 on hardware since sel is 0/1.) It remains available
-            # (and mesh-partitionable via its custom_partitioning rule) for
-            # shapes where the XLA relayout does hurt; UNCR_AGG_TRAIN=1
-            # additionally enables the custom-VJP train path.
+            # The fused Pallas kernel is OPT-IN (UNCR_AGG_KERNEL=1): on-chip
+            # eval A/Bs at 256px T=3 keep favoring this XLA repeat form —
+            # round 3: 230.3 vs 232.7 seq/s at B=8; round 4 (exact kernel):
+            # 223.5 vs 232.1 at B=8, 235.3 vs 242.6 at B=16. (Round 3 also
+            # saw 4.8e-3 max-abs fwd error on f32 inputs: the kernel
+            # accumulates in f32, but the default-precision MXU indicator
+            # matmul rounded the f32 attention to bf16; fixed in round 4
+            # with Precision.HIGHEST — exact to <1e-6 on hardware since sel
+            # is 0/1.) It remains available (and mesh-partitionable via its
+            # custom_partitioning rule) for shapes where the XLA relayout
+            # does hurt; UNCR_AGG_TRAIN=1 additionally enables the
+            # custom-VJP train path.
             use_kernel = (C % heads == 0
                           and jax.default_backend() == "tpu"
                           and os.environ.get("UNCR_AGG_KERNEL") == "1"
