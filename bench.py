@@ -404,4 +404,17 @@ if __name__ == "__main__":
             if args.batch is not None:
                 cmd += ["--batch", str(args.batch)]
             sys.exit(subprocess.run(cmd, env=env).returncode)
+        if (not oom and args.train
+                and "UNCR_DW_GW" not in _os.environ):
+            # the shape-aware dispatch (models/layers.py) turns the Pallas
+            # dwgrad kernel ON by default for small train batches; if a
+            # toolchain change ever breaks its Mosaic compile, still record
+            # a number on the XLA tap form rather than nothing.
+            sys.stderr.write(f"train bench failed ({type(e).__name__}: {e});"
+                             f" retrying once with UNCR_DW_GW=0\n")
+            env = dict(_os.environ, UNCR_DW_GW="0")
+            cmd = [sys.executable, __file__, "--train"]
+            if args.batch is not None:
+                cmd += ["--batch", str(args.batch)]
+            sys.exit(subprocess.run(cmd, env=env).returncode)
         raise

@@ -112,6 +112,34 @@ def test_dw_vjp_gate_dispatches(rng, monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_dw_gw_auto_policy():
+    """Shape thresholds for the default (no env var) TPU dispatch, set by
+    the round-4 on-chip A/B: the train-recipe B=4 shape (N=B*t=12, 256px)
+    is in, the B=8 shape is out, and unaligned channel counts are out
+    (the kernel's C-pad doubles its HBM traffic)."""
+    from uncrtaints_tpu.models.layers import _dw_gw_auto
+    assert _dw_gw_auto((12, 256, 256, 128))          # train B=4: kernel wins
+    assert not _dw_gw_auto((24, 256, 256, 128))      # train B=8: taps win
+    assert not _dw_gw_auto((12, 256, 256, 96))       # C % 128 != 0
+
+
+def test_dw_vjp_auto_dispatch(rng, monkeypatch):
+    """With NO env var, a TPU backend auto-dispatches small aligned shapes
+    to the kernel and keeps large shapes on the tap form; UNCR_DW_GW=0
+    forces the tap form for every shape."""
+    from uncrtaints_tpu.models import layers as L
+
+    monkeypatch.delenv("UNCR_DW_GW", raising=False)
+    monkeypatch.setattr(L.jax, "default_backend", lambda: "tpu")
+    small, large = (4, 32, 32, 128), (4, 1024, 1024, 128)
+    assert L._use_pallas_dw_gw(small)
+    assert not L._use_pallas_dw_gw(large)
+    monkeypatch.setenv("UNCR_DW_GW", "0")
+    assert not L._use_pallas_dw_gw(small)
+    monkeypatch.setenv("UNCR_DW_GW", "1")
+    assert L._use_pallas_dw_gw(large)
+
+
 def test_dw_kernel_grad_sharded_batch_psum(rng):
     """Batch-sharded inputs over the 8-device mesh: the custom_partitioning
     rule runs the kernel per batch shard and psums the kernel-grad partials;

@@ -7,7 +7,9 @@ device-buffer state can't leak between configs through the axon tunnel):
   eval  B in {8, 16} + UNCR_AGG_KERNEL=1 (fused Pallas aggregation)
   train B in {4, 8, 12, 16} x {remat, no}  -- batch/remat matrix (B=8
         no-remat measured best in round 4: 39.75 seq/s)
-  train + UNCR_DW_GW=1                -- single-pass Pallas dw kernel-grad
+  train + UNCR_DW_GW in {auto, 0, 1}  -- single-pass Pallas dw kernel-grad
+        (auto = the shape-aware default: ON at B=4, OFF at B=8; the round-4
+        A/B measured B=4 26.28 -> 35.72 with it, B=8 39.75 -> 36.39)
   train + --prng_impl rbg             -- dropout-noise generator A/B
   train + UNCR_AGG_TRAIN=1            -- train-path pallas aggregator
 
@@ -66,7 +68,7 @@ dt = time.perf_counter() - t0
 import os as _os
 print(json.dumps({"mode": mode, "B": B, "remat": remat == "1",
                   "prng": prng, "agg_train": agg_train == "1",
-                  "dw_gw": _os.environ.get("UNCR_DW_GW") == "1",
+                  "dw_gw": _os.environ.get("UNCR_DW_GW", "auto"),
                   "agg_kernel": _os.environ.get("UNCR_AGG_KERNEL") == "1",
                   "seq_per_sec": round(iters * B / dt, 2),
                   "ms_per_step": round(1000 * dt / iters, 2)}))
@@ -74,12 +76,14 @@ print(json.dumps({"mode": mode, "B": B, "remat": remat == "1",
 
 
 def run_cfg(mode, B, remat=False, prng="threefry2x32", agg_train=False,
-            dw_gw=False, agg_kernel=False, iters=20, timeout=900):
+            dw_gw=None, agg_kernel=False, iters=20, timeout=900):
     env = dict(os.environ)
     if agg_train:
         env["UNCR_AGG_TRAIN"] = "1"
-    if dw_gw:
-        env["UNCR_DW_GW"] = "1"
+    if dw_gw is None:                  # auto: the shape-aware default
+        env.pop("UNCR_DW_GW", None)
+    else:
+        env["UNCR_DW_GW"] = "1" if dw_gw else "0"
     if agg_kernel:
         env["UNCR_AGG_KERNEL"] = "1"
     cmd = [sys.executable, "-c", CHILD, mode, str(B),
@@ -117,7 +121,7 @@ def main():
         ("train", dict(B=8, remat=True)),
         ("train", dict(B=4, remat=True)),
         ("train", dict(B=8, dw_gw=True)),
-        ("train", dict(B=4, dw_gw=True)),
+        ("train", dict(B=4, dw_gw=False)),   # tap form vs the auto default
         ("train", dict(B=8, prng="rbg")),
         ("train", dict(B=8, agg_train=True)),
     ])

@@ -88,22 +88,45 @@ def _dw_conv_same_fwd(x, w):
     return out, (x, w)
 
 
-def _use_pallas_dw_gw() -> bool:
-    """Single-pass Pallas kernel-grad (ops/pallas_dwgrad.py) A/B gate: the
+# Auto-dispatch ceiling for the Pallas dw kernel-grad, in activation rows
+# (N*H*W of the conv input). Set from the round-4 on-chip whole-step A/B
+# (tools/sweep.py, v5e, 256px t=3): at train B=4 (N=12 rows=786k) the
+# kernel lifts the step 26.28 -> 35.72 seq/s (+36%); at B=8 (N=24 rows=
+# 1.57M) it LOSES 39.75 -> 36.39 (the tap form's reduction fusions win
+# once there is enough batch to amortize their re-reads, while the
+# kernel's per-block sublane relayouts keep scaling linearly). 2^20 sits
+# between the measured win and the measured loss.
+_DW_GW_AUTO_MAX_ROWS = 1 << 20
+
+
+def _dw_gw_auto(x_shape) -> bool:
+    """Shape policy for auto mode: small-batch reductions win, and the
+    kernel's channel padding (pallas_dwgrad.py roofline caveat) makes
+    C % 128 != 0 callers pay ~2x HBM traffic, so require aligned C."""
+    N, H, W, C = x_shape
+    return N * H * W <= _DW_GW_AUTO_MAX_ROWS and C % 128 == 0
+
+
+def _use_pallas_dw_gw(x_shape) -> bool:
+    """Single-pass Pallas kernel-grad (ops/pallas_dwgrad.py) dispatch: the
     XLA tap form re-reads x/g several times (~40 ms/step of per-channel
     reduction fusions in the round-3 train profile); the kernel reads x
-    and g once per block (dx shifts are in-VMEM slices). Gated on
-    UNCR_DW_GW=1 pending the tools/sweep.py throughput A/B on hardware
-    (it compiles and runs on v5e). Batch-sharded (dp) meshes are efficient: the
-    custom_partitioning rule in dw_kernel_grad_sharded runs the kernel on
-    each batch shard and psums the [kh,kw,1,C] partials. SPATIALLY sharded
-    callers (dp x sp whole-scene mesh) are numerically correct but costly:
-    H/W shards are force-gathered per device, because per-shard padding at
-    interior row boundaries would corrupt the cross-boundary taps — don't
-    enable this gate for spatially-sharded TRAINING (inference never takes
-    this backward path)."""
-    return (os.environ.get("UNCR_DW_GW") == "1"
-            and jax.default_backend() == "tpu")
+    and g once per block (dx shifts are in-VMEM slices). On TPU the
+    default is shape-aware (_dw_gw_auto, thresholds measured on v5e —
+    see _DW_GW_AUTO_MAX_ROWS); UNCR_DW_GW=1 forces it on for every
+    shape, UNCR_DW_GW=0 forces the XLA tap form. Batch-sharded (dp)
+    meshes are efficient: the custom_partitioning rule in
+    dw_kernel_grad_sharded runs the kernel on each batch shard and psums
+    the [kh,kw,1,C] partials. SPATIALLY sharded callers (dp x sp
+    whole-scene mesh) are numerically correct but costly: H/W shards are
+    force-gathered per device, because per-shard padding at interior row
+    boundaries would corrupt the cross-boundary taps — don't force this
+    on for spatially-sharded TRAINING (inference never takes this
+    backward path)."""
+    env = os.environ.get("UNCR_DW_GW")
+    if env == "0" or jax.default_backend() != "tpu":
+        return False
+    return True if env == "1" else _dw_gw_auto(x_shape)
 
 
 def _dw_conv_same_bwd(res, g):
@@ -111,7 +134,7 @@ def _dw_conv_same_bwd(res, g):
     N, H, W, C = x.shape
     kh, kw = w.shape[0], w.shape[1]
     gx = _dw_shift_add(g, w[::-1, ::-1], ((kh // 2,) * 2, (kw // 2,) * 2))
-    if _use_pallas_dw_gw():
+    if _use_pallas_dw_gw(x.shape):
         from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad_sharded
         gw = dw_kernel_grad_sharded(x, g, ((kh // 2,) * 2, (kw // 2,) * 2),
                                     kh, kw)
@@ -154,7 +177,7 @@ def _dw_conv_valid_bwd(res, g):
     # input grad: FULL-pad correlation with the flipped kernel
     gx = _dw_shift_add(g, w[::-1, ::-1],
                        ((kh - 1, kh - 1), (kw - 1, kw - 1)))
-    if _use_pallas_dw_gw():
+    if _use_pallas_dw_gw(x.shape):
         from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad
         gw = dw_kernel_grad(x, g, ((0, 0), (0, 0)), kh, kw)
         return gx, gw.astype(w.dtype)

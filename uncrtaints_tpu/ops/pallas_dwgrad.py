@@ -25,10 +25,14 @@ is ~2*(C128/C) reads of x + g plus the pad writes, not the one-read ideal
 -- e.g. C=64 pays ~2x. The model's dw convs run at C=128/256 where the
 pad is a no-op; skip this kernel (or tile channels) for small-C callers.
 
-Status: wired behind UNCR_DW_GW=1 in models/layers.py. Hardware: compiles
-and runs on v5e (tools/r3_kernel_probe.py, round 4); numerics verified in
+Status: ON BY DEFAULT for small-batch TPU callers via the shape-aware
+dispatch in models/layers.py (_use_pallas_dw_gw; UNCR_DW_GW=1/0 forces).
+Round-4 on-chip whole-step A/B (tools/sweep.py, v5e, 256px t=3): train
+B=4 26.28 -> 35.72 seq/s (+36%, the paper-recipe batch); train B=8
+39.75 -> 36.39 (loses — XLA's tap fusions win once batch amortizes the
+re-reads), hence the N*H*W <= 2^20 auto threshold. Numerics verified in
 interpret mode (tests/test_pallas_dwgrad.py) and the train-loss A/B on
-chip; throughput A/B via tools/sweep.py.
+chip (tools/r3_kernel_probe.py).
 """
 
 from __future__ import annotations
