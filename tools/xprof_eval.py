@@ -11,9 +11,14 @@ steady-state steps -- the round-2/3 perf work is driven by this attribution.
 import argparse
 import glob
 import os
+import sys
 import tempfile
 import time
 from collections import defaultdict
+
+# runnable as `python tools/xprof_eval.py` without an editable install or
+# PYTHONPATH (which breaks axon PJRT plugin discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
