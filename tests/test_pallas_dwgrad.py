@@ -113,31 +113,67 @@ def test_dw_vjp_gate_dispatches(rng, monkeypatch):
 
 
 def test_dw_gw_auto_policy():
-    """Shape thresholds for the default (no env var) TPU dispatch, set by
-    the round-4 on-chip A/B: the train-recipe B=4 shape (N=B*t=12, 256px)
-    is in, the B=8 shape is out, and unaligned channel counts are out
-    (the kernel's C-pad doubles its HBM traffic)."""
-    from uncrtaints_tpu.models.layers import _dw_gw_auto
-    assert _dw_gw_auto((12, 256, 256, 128))          # train B=4: kernel wins
-    assert not _dw_gw_auto((24, 256, 256, 128))      # train B=8: taps win
-    assert not _dw_gw_auto((12, 256, 256, 96))       # C % 128 != 0
+    """The default (no env var) TPU dispatch gates on the STEP's total
+    activation rows (round-4 on-chip attribution: the kernel's win/loss is
+    a whole-step property, not a per-conv one — layers.py policy comment):
+    inside a small step (B=4 paper recipe: 786k rows) every aligned conv
+    engages, inside a large step (B=8: 1.57M rows) none does, and with no
+    step hint (direct grads outside the engine) none does."""
+    from uncrtaints_tpu.models.layers import _dw_gw_auto, dw_gw_step_rows
+
+    enc_b4, dec_b4, strip = (12, 256, 256, 256), (4, 256, 256, 256), (4, 1, 258, 256)
+    assert not _dw_gw_auto(enc_b4)                  # no step hint -> taps
+    with dw_gw_step_rows(4 * 3 * 256 * 256):        # train B=4 step
+        assert _dw_gw_auto(enc_b4)
+        assert _dw_gw_auto(dec_b4)
+        assert _dw_gw_auto(strip)
+        assert not _dw_gw_auto((12, 256, 256, 96))  # C % 128 != 0
+    with dw_gw_step_rows(8 * 3 * 256 * 256):        # train B=8 step
+        assert not _dw_gw_auto((24, 256, 256, 256))
+        assert not _dw_gw_auto((8, 256, 256, 256))
+        assert not _dw_gw_auto((8, 1, 258, 256))
+    assert not _dw_gw_auto(enc_b4)                  # hint restored
 
 
 def test_dw_vjp_auto_dispatch(rng, monkeypatch):
-    """With NO env var, a TPU backend auto-dispatches small aligned shapes
-    to the kernel and keeps large shapes on the tap form; UNCR_DW_GW=0
-    forces the tap form for every shape."""
+    """With NO env var, a TPU backend auto-dispatches aligned shapes to the
+    kernel only under a small-step hint; UNCR_DW_GW=0 forces the tap form
+    for every shape and UNCR_DW_GW=1 forces the kernel regardless of the
+    hint."""
     from uncrtaints_tpu.models import layers as L
 
     monkeypatch.delenv("UNCR_DW_GW", raising=False)
     monkeypatch.setattr(L.jax, "default_backend", lambda: "tpu")
     small, large = (4, 32, 32, 128), (4, 1024, 1024, 128)
-    assert L._use_pallas_dw_gw(small)
-    assert not L._use_pallas_dw_gw(large)
-    monkeypatch.setenv("UNCR_DW_GW", "0")
-    assert not L._use_pallas_dw_gw(small)
+    assert not L._use_pallas_dw_gw(small)           # no hint
+    with L.dw_gw_step_rows(4 * 32 * 32):
+        assert L._use_pallas_dw_gw(small)
+        monkeypatch.setenv("UNCR_DW_GW", "0")
+        assert not L._use_pallas_dw_gw(small)
     monkeypatch.setenv("UNCR_DW_GW", "1")
     assert L._use_pallas_dw_gw(large)
+
+
+def test_dw_gw_hint_set_by_train_step(monkeypatch):
+    """engine.make_train_step wraps every dispatch in the step-rows hint
+    (B*T*H*W of the step input, per microbatch under accumulation)."""
+    import jax
+    from uncrtaints_tpu.models import layers as L
+    from uncrtaints_tpu.train.engine import _with_dw_gw_hint
+
+    seen = {}
+
+    def fake_step(state, batch, rng):
+        seen["rows"] = L._DW_GW_STEP_ROWS
+        return state, {}
+
+    fake_step.lower = fake_step
+    batch = {"x": jax.ShapeDtypeStruct((4, 3, 16, 16, 15), jnp.float32)}
+    _with_dw_gw_hint(fake_step)(None, batch, None)
+    assert seen["rows"] == 4 * 3 * 16 * 16
+    _with_dw_gw_hint(fake_step, microbatches=2)(None, batch, None)
+    assert seen["rows"] == 4 * 3 * 16 * 16 // 2
+    assert L._DW_GW_STEP_ROWS is None               # restored after dispatch
 
 
 def test_dw_kernel_grad_sharded_batch_psum(rng):

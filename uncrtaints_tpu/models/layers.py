@@ -19,6 +19,7 @@ mathematically identical for the per-sample norms used on the temporal path
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Callable, Optional, Sequence
 
@@ -88,23 +89,69 @@ def _dw_conv_same_fwd(x, w):
     return out, (x, w)
 
 
-# Auto-dispatch ceiling for the Pallas dw kernel-grad, in activation rows
-# (N*H*W of the conv input). Set from the round-4 on-chip whole-step A/B
-# (tools/sweep.py, v5e, 256px t=3): at train B=4 (N=12 rows=786k) the
-# kernel lifts the step 26.28 -> 35.72 seq/s (+36%); at B=8 (N=24 rows=
-# 1.57M) it LOSES 39.75 -> 36.39 (the tap form's reduction fusions win
-# once there is enough batch to amortize their re-reads, while the
-# kernel's per-block sublane relayouts keep scaling linearly). 2^20 sits
-# between the measured win and the measured loss.
-_DW_GW_AUTO_MAX_ROWS = 1 << 20
+# Auto-dispatch policy for the Pallas dw kernel-grad. Set from the round-4
+# on-chip whole-step A/Bs (tools/sweep.py + tools/r4_dwband{,2,3}.py, v5e,
+# 256px t=3) over the call-site census (tools/probe_dwshapes.py: one
+# temporally-merged encoder conv at rows=B*t*256^2, five decoder convs at
+# rows=B*256^2, 24 tiny border-strip convs). The per-site attribution arms
+# showed the win/loss is NOT a per-conv-shape property:
+#   - at the small train step (B=4: step rows 786k) the kernel lifts the
+#     step 26.28 -> 35.7 seq/s (+36%), and nearly ALL of that is the tiny
+#     border-strip sites (strips-only 35.67 ~= strips+encoder 35.74 ~=
+#     all-on 35.72): their XLA tap form emits ~40 ms of badly-overlapped
+#     multiply+reduce fusions that an under-occupied step cannot hide,
+#     while the big-conv kernels are ~neutral there (encoder-only 31.48,
+#     encoder+decoder-no-strips 29.95);
+#   - at the large step (B=8: 1.57M rows) EVERY engagement pattern loses
+#     against all-off 39.78 (forced-on 36.39, decoder-only 32.05,
+#     strips-only 36.78, strips+decoder 36.45): with enough batch
+#     parallelism the tap reductions overlap fine, and the kernels'
+#     fixed per-dispatch relayout overhead (24 strip sites) turns net
+#     negative.
+# A per-conv window cannot express that (the strip shapes barely change
+# with B), so auto mode gates on the STEP's total activation rows
+# (B*T*H*W of the step input), provided by the engine around each step
+# dispatch via dw_gw_step_rows(); within an engaged step the per-site env
+# window [MIN, MAX] (defaults: everything) exists for attribution probes
+# and re-measurement on new toolchains.
+_DW_GW_STEP_MAX_ROWS = int(os.environ.get("UNCR_DW_GW_STEP_MAX_ROWS", 1 << 20))
+_DW_GW_AUTO_MIN_ROWS = int(os.environ.get("UNCR_DW_GW_MIN_ROWS", 0))
+_DW_GW_AUTO_MAX_ROWS = int(os.environ.get("UNCR_DW_GW_MAX_ROWS", 1 << 62))
+
+# step-rows hint; None outside an engine-dispatched train step (= auto off:
+# callers that differentiate dw convs directly, e.g. unit tests or custom
+# loops, get the always-correct XLA tap form unless they set the hint or
+# force UNCR_DW_GW=1)
+_DW_GW_STEP_ROWS = None
+
+
+@contextlib.contextmanager
+def dw_gw_step_rows(rows: int):
+    """Provide the step-level activation-rows hint the auto policy gates
+    on (engine.make_train_step wraps every step dispatch in this). The
+    hint is a pure function of the (static) batch shape, so it is
+    consistent with jit's trace cache: same shapes => same hint => same
+    traced dispatch."""
+    global _DW_GW_STEP_ROWS
+    prev = _DW_GW_STEP_ROWS
+    _DW_GW_STEP_ROWS = rows
+    try:
+        yield
+    finally:
+        _DW_GW_STEP_ROWS = prev
 
 
 def _dw_gw_auto(x_shape) -> bool:
-    """Shape policy for auto mode: small-batch reductions win, and the
-    kernel's channel padding (pallas_dwgrad.py roofline caveat) makes
-    C % 128 != 0 callers pay ~2x HBM traffic, so require aligned C."""
+    """Auto policy: the measured step-size gate plus the per-site probe
+    window, and the kernel's channel padding (pallas_dwgrad.py roofline
+    caveat) makes C % 128 != 0 callers pay ~2x HBM traffic, so require
+    aligned C."""
+    if _DW_GW_STEP_ROWS is None or _DW_GW_STEP_ROWS > _DW_GW_STEP_MAX_ROWS:
+        return False
     N, H, W, C = x_shape
-    return N * H * W <= _DW_GW_AUTO_MAX_ROWS and C % 128 == 0
+    rows = N * H * W
+    return (_DW_GW_AUTO_MIN_ROWS <= rows <= _DW_GW_AUTO_MAX_ROWS
+            and C % 128 == 0)
 
 
 def _use_pallas_dw_gw(x_shape) -> bool:
@@ -112,9 +159,9 @@ def _use_pallas_dw_gw(x_shape) -> bool:
     XLA tap form re-reads x/g several times (~40 ms/step of per-channel
     reduction fusions in the round-3 train profile); the kernel reads x
     and g once per block (dx shifts are in-VMEM slices). On TPU the
-    default is shape-aware (_dw_gw_auto, thresholds measured on v5e —
-    see _DW_GW_AUTO_MAX_ROWS); UNCR_DW_GW=1 forces it on for every
-    shape, UNCR_DW_GW=0 forces the XLA tap form. Batch-sharded (dp)
+    default gates on the STEP's total activation rows (_dw_gw_auto,
+    measured on v5e — see the policy comment above it); UNCR_DW_GW=1
+    forces it on for every shape, UNCR_DW_GW=0 forces the XLA tap form. Batch-sharded (dp)
     meshes are efficient: the custom_partitioning rule in
     dw_kernel_grad_sharded runs the kernel on each batch shard and psums
     the [kh,kw,1,C] partials. SPATIALLY sharded callers (dp x sp

@@ -187,7 +187,38 @@ def make_train_step(cfg: Config) -> Callable:
             aux["var"] = variance / (s * s)
         return new_state, aux
 
-    return train_step
+    return _with_dw_gw_hint(train_step)
+
+
+def _with_dw_gw_hint(train_step, microbatches: int = 1):
+    """Wrap a jitted train step so each dispatch carries the step-level
+    activation-rows hint the Pallas dwgrad auto policy gates on
+    (models/layers.py dw_gw_step_rows: the round-4 A/B found the kernel's
+    win/loss is a property of the whole step's size, not of any one conv's
+    shape). The hint is B*T*H*W of the step input (per microbatch under
+    gradient accumulation) — a pure function of the static batch shape, so
+    retraces stay consistent with jit's cache."""
+    import functools as _ft
+
+    from uncrtaints_tpu.models import layers as _layers
+
+    def _hint(batch):
+        b, t, h, w = batch["x"].shape[:4]
+        return _layers.dw_gw_step_rows(b * t * h * w // microbatches)
+
+    @_ft.wraps(train_step)
+    def step(state, batch, dropout_rng):
+        with _hint(batch):
+            return train_step(state, batch, dropout_rng)
+
+    def lower(state, batch, dropout_rng):
+        # same hint on the explicit-lowering path (bench.py cost analysis),
+        # so it analyzes the graph that actually runs
+        with _hint(batch):
+            return train_step.lower(state, batch, dropout_rng)
+
+    step.lower = lower
+    return step
 
 
 def _make_accum_train_step(cfg: Config, criterion, s: float, k: int):
@@ -252,7 +283,7 @@ def _make_accum_train_step(cfg: Config, criterion, s: float, k: int):
             aux["var"] = variances.reshape((B,) + variances.shape[2:]) / (s * s)
         return new_state, aux
 
-    return train_step
+    return _with_dw_gw_hint(train_step, microbatches=k)
 
 
 def profile_flops(cfg: Config, state: TrainState, batch) -> Optional[float]:
