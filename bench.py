@@ -363,7 +363,20 @@ if __name__ == "__main__":
                          "wait budget; aborting instead of hanging\n")
         sys.exit(3)
     if args.e2e:
-        main_e2e()
+        try:
+            main_e2e(batch_size=args.batch or 16)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e) and args.batch is None:
+                # same flaky device-buffer exhaustion story as the device
+                # bench below: retry at the known-good smaller batch in a
+                # FRESH process
+                import subprocess
+                sys.stderr.write("e2e batch exhausted device buffers; "
+                                 "retrying at B=8 in a clean process\n")
+                sys.exit(subprocess.run(
+                    [sys.executable, __file__, "--e2e", "--batch", "8"]
+                ).returncode)
+            raise
         sys.exit(0)
     if args.scene:
         main_scene(batch_size=args.batch or 8)
