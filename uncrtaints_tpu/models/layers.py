@@ -529,7 +529,18 @@ class Conv2d(nn.Module):
             y = jnp.einsum("...c,co->...o", x, kernel[0, 0])
         elif (self.pad == 1 and k == 3 and self.stride == 1
                 and self.padding_mode == "reflect" and x.shape[-3] >= 2
-                and x.shape[-2] >= 2):
+                and x.shape[-2] >= 2
+                and os.environ.get("UNCR_REFLECT", "fast") != "pad"):
+            # UNCR_REFLECT=pad forces the materialized-pad branch below —
+            # an A/B escape hatch: the strip decomposition won its eval
+            # measurement (1.6x, docstring), but its border machinery is
+            # many tiny DMAs whose cost profile could shift with batch
+            # size/toolchain. Round-4 on-chip A/B (tools/r4_reflect_ab.py):
+            # the pad mode's B=4 TRAIN step did not even finish compiling+
+            # 20 iters inside 900 s (strip mode: 112 ms/step, whole arm
+            # ~6 min) — the padded 258x258 shapes wreck the backward's
+            # conv/reduce tiling, so the strip form stays the default
+            # everywhere.
             y = self._reflect3x3_fast(x, kernel, conv)
         elif self.pad > 0 and self.padding_mode in ("reflect", "replicate",
                                                     "circular"):
