@@ -1,0 +1,96 @@
+"""Generic on-chip env-knob A/B for the train/eval step at bench shape.
+
+Each config runs in a FRESH child process (knobs are read at trace time;
+device-buffer state can't leak between configs through the axon tunnel).
+
+Usage (real TPU):
+    python tools/env_ab.py train:4 train:4:UNCR_DW_GX_BARRIER=1 \
+                           train:8 train:8:UNCR_DW_GX_BARRIER=1
+Each arg is mode:batch[:ENV=V[,ENV=V...]]. Results append to
+/tmp/env_ab.jsonl and print as JSON lines.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+import numpy as np, jax, jax.numpy as jnp
+mode, B, iters = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+from uncrtaints_tpu.config import Config, derive, input_dim
+from uncrtaints_tpu.models import get_generator
+from uncrtaints_tpu.train import (create_train_state, make_train_step,
+                                  make_eval_step, dropout_rng)
+cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=B, lr=1e-3))
+model = get_generator(cfg)
+T, H, W = cfg.input_t, 256, 256
+rng = np.random.default_rng(0)
+batch = {
+    "x": jnp.asarray(rng.random((B, T, H, W, input_dim(cfg)), dtype=np.float32)),
+    "y": jnp.asarray(rng.random((B, 1, H, W, 13), dtype=np.float32)),
+    "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
+}
+state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+if mode == "train":
+    step = make_train_step(cfg)
+    key = jax.random.fold_in(dropout_rng(cfg, 1), 0)
+    run = lambda st: step(st, batch, key)
+else:
+    ev = make_eval_step(cfg)
+    run = lambda st: (st, ev(st, batch))
+for _ in range(3):
+    state, aux = run(state)
+    _ = float(aux["loss"])
+t0 = time.perf_counter()
+for _ in range(iters):
+    state, aux = run(state)
+_ = float(aux["loss"])
+dt = time.perf_counter() - t0
+env = {k: v for k, v in __import__("os").environ.items()
+       if k.startswith("UNCR_")}
+print(json.dumps({"mode": mode, "B": B, "env": env,
+                  "seq_per_sec": round(iters * B / dt, 2),
+                  "ms_per_step": round(1000 * dt / iters, 2)}))
+"""
+
+
+def run_cfg(spec, iters=20, timeout=900):
+    parts = spec.split(":")
+    mode, B = parts[0], int(parts[1])
+    env = dict(os.environ)
+    kv = {}
+    if len(parts) > 2 and parts[2]:
+        for pair in parts[2].split(","):
+            k, v = pair.split("=")
+            env[k] = v
+            kv[k] = v
+    cmd = [sys.executable, "-c", CHILD, mode, str(B), str(iters)]
+    try:
+        p = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                           text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"spec": spec, "error": "timeout"}
+    line = (p.stdout.strip().splitlines() or [""])[-1]
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return {"spec": spec, "error": p.stderr[-500:]}
+
+
+def main():
+    specs = sys.argv[1:]
+    assert specs, __doc__
+    with open("/tmp/env_ab.jsonl", "a") as f:
+        for spec in specs:
+            r = run_cfg(spec)
+            print(json.dumps(r), flush=True)
+            f.write(json.dumps(r) + "\n")
+            f.flush()
+
+
+if __name__ == "__main__":
+    main()

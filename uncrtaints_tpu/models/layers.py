@@ -85,7 +85,8 @@ def _dw_conv_same(x, w):
 
 
 def _dw_conv_same_fwd(x, w):
-    out = _dw_shift_add(x, w, ((w.shape[0] // 2,) * 2, (w.shape[1] // 2,) * 2))
+    out = _dw_stencil_or_shift(
+        x, w, ((w.shape[0] // 2,) * 2, (w.shape[1] // 2,) * 2))
     return out, (x, w)
 
 
@@ -176,11 +177,79 @@ def _use_pallas_dw_gw(x_shape) -> bool:
     return True if env == "1" else _dw_gw_auto(x_shape)
 
 
+def _use_pallas_dw_stencil(x_shape, kh, kw, pads) -> bool:
+    """Dispatch for the one-read Pallas dw stencil (ops/pallas_dwconv.py),
+    used for the DIFFERENTIATED forward and the input gradient of the
+    depthwise convs (the eval primal keeps lax.conv). The XLA kLoop for
+    the shift-add form re-reads the input once per tap (~9x HBM traffic,
+    round-4 B=4 profile); the kernel reads it once per block.
+    UNCR_DW_STENCIL=1 forces it for every eligible site, =0 forces the
+    XLA shift-add. Eligibility: lane-aligned C (the kernel's channel pad
+    doubles traffic otherwise) and a big enough site that the custom-call
+    + window overheads amortize (the 24 border-strip sites are not)."""
+    env = os.environ.get("UNCR_DW_STENCIL")
+    if env == "0" or jax.default_backend() != "tpu":
+        return False
+    N, H, W, C = x_shape
+    (pt, pb), (pl_, pr) = pads
+    Ho, Wo = H + pt + pb - kh + 1, W + pl_ + pr - kw + 1
+    eligible = C % 128 == 0 and N * Ho * Wo >= (1 << 18) and Ho >= 8
+    if env == "1":
+        return eligible
+    # auto default: OFF — the round-4 on-chip A/B measured the kernel at
+    # parity with XLA's stencil in isolation (both are bound by the same
+    # in-VMEM width-shift relayouts, 6.8 vs 6.4 ms at the encoder shape)
+    # and a clear net LOSS in-step (B=4 35.68 -> 32.13, B=8 39.78 ->
+    # 33.17) from the evicted elementwise neighbours. See the STATUS
+    # block in ops/pallas_dwconv.py.
+    return False
+
+
+def _dw_stencil_or_shift(x, w, pads, site="fwd"):
+    """The differentiated dw-conv stencil: the Pallas one-read kernel where
+    the dispatch says so, XLA's fusible shift-add form otherwise. Both
+    accumulate fp32 in identical tap order (bit-identical results).
+    ``site`` ('fwd' or 'gx') supports the per-site A/B window
+    UNCR_DW_STENCIL_SITES (default: both) — the gx sites sit inside the
+    norm-backward reduce fusions where splitting has its own cost (see
+    _gx_fusion_fence's measurement)."""
+    kh, kw = w.shape[0], w.shape[1]
+    sites = os.environ.get("UNCR_DW_STENCIL_SITES", "fwd,gx")
+    if site in sites and _use_pallas_dw_stencil(x.shape, kh, kw, pads):
+        from uncrtaints_tpu.ops.pallas_dwconv import dw_stencil_sharded
+        return dw_stencil_sharded(x, w, pads)
+    return _dw_shift_add(x, w, pads)
+
+
+def _gx_fusion_fence(gx):
+    """Keep the 9-tap gx stencil OUT of the upstream norm-backward reduce
+    fusions (UNCR_DW_GX_BARRIER=1, experimental). The round-4 B=4 train
+    profile showed XLA fusing the shift-add stencil + GELU backward INTO
+    the GroupNorm/BatchNorm backward's stats-reduce kLoops, which then tile
+    by channel with tiny windows (~4.7x over HBM roofline: fusion.1606
+    7.1 ms vs its stencil-free twin 1.9 ms at the same shape; the 5 decoder
+    BN-bwd fusions show the same 16-18 stencil slices). The barrier
+    materializes gx once (+1 read/write) so each side fuses into a clean,
+    well-tiled loop.
+
+    MEASURED (round 4, v5e, tools/env_ab.py): the barrier LOSES — train
+    B=4 35.68 -> 35.24 seq/s, B=8 39.75 -> 38.5. The extra gx
+    materialization costs slightly more than the bad tiling it removes;
+    XLA's fuse-it-all call is net right, so the default stays off. Kept
+    as a probe knob for future toolchains (and because the Pallas dw
+    stencil attacks the same waste without the extra traffic)."""
+    if os.environ.get("UNCR_DW_GX_BARRIER", "0") == "1":
+        return jax.lax.optimization_barrier(gx)
+    return gx
+
+
 def _dw_conv_same_bwd(res, g):
     x, w = res
     N, H, W, C = x.shape
     kh, kw = w.shape[0], w.shape[1]
-    gx = _dw_shift_add(g, w[::-1, ::-1], ((kh // 2,) * 2, (kw // 2,) * 2))
+    gx = _gx_fusion_fence(
+        _dw_stencil_or_shift(g, w[::-1, ::-1],
+                             ((kh // 2,) * 2, (kw // 2,) * 2), site="gx"))
     if _use_pallas_dw_gw(x.shape):
         from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad_sharded
         gw = dw_kernel_grad_sharded(x, g, ((kh // 2,) * 2, (kw // 2,) * 2),
@@ -213,7 +282,7 @@ def _dw_conv_valid(x, w):
 
 
 def _dw_conv_valid_fwd(x, w):
-    return _dw_shift_add(x, w, ((0, 0), (0, 0))), (x, w)
+    return _dw_stencil_or_shift(x, w, ((0, 0), (0, 0))), (x, w)
 
 
 def _dw_conv_valid_bwd(res, g):
@@ -222,8 +291,10 @@ def _dw_conv_valid_bwd(res, g):
     kh, kw = w.shape[0], w.shape[1]
     Ho, Wo = H - kh + 1, W - kw + 1
     # input grad: FULL-pad correlation with the flipped kernel
-    gx = _dw_shift_add(g, w[::-1, ::-1],
-                       ((kh - 1, kh - 1), (kw - 1, kw - 1)))
+    gx = _gx_fusion_fence(
+        _dw_stencil_or_shift(g, w[::-1, ::-1],
+                             ((kh - 1, kh - 1), (kw - 1, kw - 1)),
+                             site="gx"))
     if _use_pallas_dw_gw(x.shape):
         from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad
         gw = dw_kernel_grad(x, g, ((0, 0), (0, 0)), kh, kw)
