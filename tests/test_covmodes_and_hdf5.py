@@ -26,6 +26,7 @@ def _mk(cfg, B=2, T=2, H=32, W=32):
     return state, batch
 
 
+@pytest.mark.slow  # heavy integration (tens of seconds on 1 core); full run covers it
 def test_gnll_uni_trains():
     cfg = derive(Config(loss="GNLL", **SMALL))
     assert cfg.covmode == "uni" and cfg.out_conv == [26]
@@ -38,6 +39,7 @@ def test_gnll_uni_trains():
     assert out["var"].shape == (2, 1, 32, 32, 13)
 
 
+@pytest.mark.slow  # heavy integration (tens of seconds on 1 core); full run covers it
 def test_mgnll_iso_trains():
     cfg = derive(Config(loss="MGNLL", covmode="iso", **SMALL))
     assert cfg.out_conv == [14]

@@ -2,6 +2,7 @@
 freezing, and the 8-device sharded train step."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -88,6 +89,7 @@ def test_freeze_mask_blocks_updates():
     assert any("in_conv" in k for k in unchanged)
 
 
+@pytest.mark.slow  # heavy integration (tens of seconds on 1 core); full run covers it
 def test_multichip_dryrun_8_devices():
     """The driver's multi-chip validation path: full train step jitted over
     an 8-device data mesh (virtual CPU devices)."""
@@ -236,6 +238,7 @@ def test_legacy_conv_path_checkpoint_migrates(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # heavy integration (tens of seconds on 1 core); full run covers it
 def test_rbg_dropout_prng_trains():
     """--prng_impl rbg: the TPU-native generator must drive the train step
     (typed keys survive fold_in and flax Dropout) and keep determinism --
@@ -270,6 +273,7 @@ def test_rbg_dropout_prng_trains():
                                   np.asarray(aux2["pred"]))
 
 
+@pytest.mark.slow  # heavy integration (tens of seconds on 1 core); full run covers it
 def test_grad_accumulation_matches_manual_microbatching():
     """accum_steps=2 must equal a hand-rolled reference: per-microbatch
     gradients with sequentially-carried batch_stats, averaged, applied in
@@ -345,6 +349,7 @@ def test_grad_accumulation_rejects_indivisible_batch():
         derive(Config(batch_size=5, accum_steps=2))
 
 
+@pytest.mark.slow  # heavy integration (tens of seconds on 1 core); full run covers it
 def test_grad_accumulation_on_data_mesh():
     """accum_steps under the 8-device data mesh: each microbatch stays
     batch-sharded through the scan; the step runs and returns finite loss
@@ -415,6 +420,7 @@ def test_fused_metrics_and_donation_match_separate_call():
     assert np.isfinite(float(aux_f2["loss"]))
 
 
+@pytest.mark.slow  # heavy integration (tens of seconds on 1 core); full run covers it
 def test_orbax_checkpoint_round_trip(tmp_path):
     """ckpt_backend='orbax': async save -> durable restore reproduces the
     full state (params, batch_stats, optimizer moments, step) and drives an
