@@ -50,7 +50,12 @@ def _hardware_utilization(step_fn, step_args, step_seconds: float) -> dict:
     time. Grounds the perf claim in hardware truth, unlike the extrapolated
     V100 anchor; the reference's equivalent was fvcore FLOP counting under
     --profile (base_model.py:64-71). Returns {} off-TPU or when the backend
-    exposes no cost model."""
+    exposes no cost model.
+
+    Caveats (labeled in the emitted JSON): XLA's 'bytes accessed' sums
+    per-op operand bytes, not post-fusion HBM traffic, so hbm_fraction is
+    an UPPER-BOUND estimate of real HBM utilization; mfu is the analytical
+    flop count over measured wall time (the standard definition)."""
     if jax.default_backend() != "tpu":
         return {}
     try:
@@ -70,6 +75,8 @@ def _hardware_utilization(step_fn, step_args, step_seconds: float) -> dict:
     if hbm_bytes > 0:
         out["hbm_fraction"] = round(
             hbm_bytes / step_seconds / V5E_PEAK_HBM_BYTES_PER_SEC, 4)
+        # XLA cost-model operand bytes, not measured post-fusion traffic
+        out["hbm_fraction_basis"] = "xla_cost_model_upper_bound"
     return out
 
 
@@ -194,36 +201,43 @@ def _e2e_store(n_patches: int, frames: int, patch: int) -> str:
 
 
 def main_e2e(batch_size: int = 16, n_patches: int = 64, epochs: int = 4,
-             num_workers: int = 8):
+             num_workers: int = 8, host_radiometry: bool = False):
     """End-to-end: HDF5 -> BatchLoader threads (sampler + uint16 decode +
-    process_MS rescale + native CHW->HWC collation) -> device_put -> jitted
-    eval step, steps pipelined, one sync per epoch."""
+    collation) -> device_put -> jitted eval step, steps pipelined, one sync
+    per epoch.
+
+    Default path (round 5): the collate ships RAW uint16 S2 DN — a
+    layout-only native copy, no host arithmetic — and the process_MS
+    radiometry runs fused into the device step (engine._prepare_xy). H2D
+    bytes of x's 13 S2 channels + y halve vs fp32. ``--host_radiometry``
+    keeps the round-4 arm (host LUT collate, bf16 x) for A/B."""
     from uncrtaints_tpu.config import Config, derive
     from uncrtaints_tpu.models import get_generator
     from uncrtaints_tpu.train import create_train_state, make_eval_step
     from uncrtaints_tpu.data.hdf5 import HDF5SEN12MSCRTS
-    from uncrtaints_tpu.data.pipeline import BatchLoader, collate_multi
+    from uncrtaints_tpu.data.pipeline import make_fast_collate, make_raw_collate, BatchLoader
 
     path = _e2e_store(n_patches, frames=5, patch=256)
-    # raw uint16 S2 straight into the single-pass LUT collate
-    # (radiometry + layout + bf16 cast fused in one native pass per frame);
-    # bf16 x halves the host->device transfer through the axon tunnel at
-    # the cost of one extra bf16 rounding of the raw input before the fp32
-    # scale (collate docstrings; loss shift <2%)
     ds = HDF5SEN12MSCRTS(path, n_input_samples=3, raw_s2=True)
     cfg = derive(Config(use_sar=True, scale_by=10.0,
                         batch_size=batch_size, lr=1e-3))
     model = get_generator(cfg)
     from ml_dtypes import bfloat16 as np_bf16
-    from uncrtaints_tpu.data.pipeline import make_fast_collate
-    collate = make_fast_collate(x_dtype=np_bf16)
+    if host_radiometry:
+        # round-4 arm: uint16-DN radiometry as a host LUT fused with the
+        # transpose + bf16 cast (one native pass per frame)
+        collate = make_fast_collate(x_dtype=np_bf16)
+        keys = ("x", "y", "dates")
+    else:
+        # raw-DN arm: zero host arithmetic; S1 ships bf16, S2/y ship uint16
+        collate = make_raw_collate(s1_dtype=np_bf16)
+        keys = ("x_s1", "x_s2dn", "y_dn", "dates")
     loader = BatchLoader(ds, batch_size=batch_size, shuffle=False,
                          collate=collate, use_sar=True,
                          num_workers=num_workers, drop_last=True)
 
     def device_batch(b):
-        return {"x": jnp.asarray(b["x"]), "y": jnp.asarray(b["y"]),
-                "dates": jnp.asarray(b["dates"])}
+        return {k: jnp.asarray(b[k]) for k in keys}
 
     # collate the init/compile batch directly (an abandoned BatchLoader
     # iterator would leave its producer thread blocked on the full prefetch
@@ -267,6 +281,7 @@ def main_e2e(batch_size: int = 16, n_patches: int = 64, epochs: int = 4,
         "host_pipeline_only_seq_per_sec": round(host_rate, 2),
         "host_cpus": os.cpu_count(),
         "includes_image_metrics": True,  # fused into the step (CLI path)
+        "radiometry": "host_lut" if host_radiometry else "device_raw_dn",
     }))
 
 
@@ -357,6 +372,9 @@ if __name__ == "__main__":
                     help="benchmark whole-scene serving (infer.predict_scene)")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the default batch size")
+    ap.add_argument("--host_radiometry", action="store_true",
+                    help="e2e A/B arm: host-LUT radiometry (round-4 path) "
+                         "instead of raw-DN device radiometry")
     args = ap.parse_args()
     if not _wait_for_device():
         sys.stderr.write("bench: no jax backend became available within the "
@@ -364,7 +382,8 @@ if __name__ == "__main__":
         sys.exit(3)
     if args.e2e:
         try:
-            main_e2e(batch_size=args.batch or 16)
+            main_e2e(batch_size=args.batch or 16,
+                     host_radiometry=args.host_radiometry)
         except Exception as e:
             if "RESOURCE_EXHAUSTED" in str(e) and args.batch is None:
                 # same flaky device-buffer exhaustion story as the device
@@ -373,9 +392,10 @@ if __name__ == "__main__":
                 import subprocess
                 sys.stderr.write("e2e batch exhausted device buffers; "
                                  "retrying at B=8 in a clean process\n")
-                sys.exit(subprocess.run(
-                    [sys.executable, __file__, "--e2e", "--batch", "8"]
-                ).returncode)
+                cmd = [sys.executable, __file__, "--e2e", "--batch", "8"]
+                if args.host_radiometry:
+                    cmd.append("--host_radiometry")
+                sys.exit(subprocess.run(cmd).returncode)
             raise
         sys.exit(0)
     if args.scene:

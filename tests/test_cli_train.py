@@ -57,6 +57,10 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
     for root, _, files in os.walk(os.path.join(exp, "plots")):
         plots += [f for f in files if f.endswith(".png")]
     assert plots, "plot_every produced no images"
+    # all six reference panels, incl. the discrete-matshow mask panel
+    # (train_reconstruct.py:341-346)
+    for panel in ("in", "pred", "target", "err", "var", "mask"):
+        assert any(f"_{panel}" in f for f in plots), panel
     exports = []
     for root, _, files in os.walk(os.path.join(exp, "export")):
         exports += [f for f in files if f.endswith(".npy")]

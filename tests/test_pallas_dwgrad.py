@@ -132,6 +132,10 @@ def test_dw_gw_auto_policy():
         assert not _dw_gw_auto((24, 256, 256, 256))
         assert not _dw_gw_auto((8, 256, 256, 256))
         assert not _dw_gw_auto((8, 1, 258, 256))
+    with dw_gw_step_rows(4 * 3 * 256 * 256, spatial=True):
+        # spatially-sharded step: auto declines (the kernel's sp path
+        # force-gathers H/W shards; only UNCR_DW_GW=1 opts into that)
+        assert not _dw_gw_auto(enc_b4)
     assert not _dw_gw_auto(enc_b4)                  # hint restored
 
 
@@ -164,7 +168,7 @@ def test_dw_gw_hint_set_by_train_step(monkeypatch):
     seen = {}
 
     def fake_step(state, batch, rng):
-        seen["rows"] = L._DW_GW_STEP_ROWS
+        seen["rows"] = L._DW_GW_STEP_ROWS.get()
         return state, {}
 
     fake_step.lower = fake_step
@@ -173,7 +177,7 @@ def test_dw_gw_hint_set_by_train_step(monkeypatch):
     assert seen["rows"] == 4 * 3 * 16 * 16
     _with_dw_gw_hint(fake_step, microbatches=2)(None, batch, None)
     assert seen["rows"] == 4 * 3 * 16 * 16 // 2
-    assert L._DW_GW_STEP_ROWS is None               # restored after dispatch
+    assert L._DW_GW_STEP_ROWS.get() is None         # restored after dispatch
 
 
 def test_dw_kernel_grad_sharded_batch_psum(rng):

@@ -20,6 +20,7 @@ mathematically identical for the per-sample norms used on the temporal path
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import os
 from typing import Callable, Optional, Sequence
 
@@ -122,32 +123,42 @@ _DW_GW_AUTO_MAX_ROWS = int(os.environ.get("UNCR_DW_GW_MAX_ROWS", 1 << 62))
 # step-rows hint; None outside an engine-dispatched train step (= auto off:
 # callers that differentiate dw convs directly, e.g. unit tests or custom
 # loops, get the always-correct XLA tap form unless they set the hint or
-# force UNCR_DW_GW=1)
-_DW_GW_STEP_ROWS = None
+# force UNCR_DW_GW=1). ContextVars (not module globals) so concurrent
+# dispatch — an async eval traced alongside train, or two threads jitting
+# different steps — can't leak one step's hint into another's trace.
+_DW_GW_STEP_ROWS = contextvars.ContextVar("uncr_dw_gw_step_rows",
+                                          default=None)
+_DW_GW_SPATIAL = contextvars.ContextVar("uncr_dw_gw_spatial", default=False)
 
 
 @contextlib.contextmanager
-def dw_gw_step_rows(rows: int):
+def dw_gw_step_rows(rows: int, spatial: bool = False):
     """Provide the step-level activation-rows hint the auto policy gates
     on (engine.make_train_step wraps every step dispatch in this). The
     hint is a pure function of the (static) batch shape, so it is
     consistent with jit's trace cache: same shapes => same hint => same
-    traced dispatch."""
-    global _DW_GW_STEP_ROWS
-    prev = _DW_GW_STEP_ROWS
-    _DW_GW_STEP_ROWS = rows
+    traced dispatch. ``spatial=True`` declares the step's batch is sharded
+    over H/W (dp x sp mesh): auto mode then declines the Pallas kernel,
+    because its spatial-shard path force-gathers H/W per device (see
+    _use_pallas_dw_gw) — only an explicit UNCR_DW_GW=1 opts into that."""
+    t1 = _DW_GW_STEP_ROWS.set(rows)
+    t2 = _DW_GW_SPATIAL.set(spatial)
     try:
         yield
     finally:
-        _DW_GW_STEP_ROWS = prev
+        _DW_GW_SPATIAL.reset(t2)
+        _DW_GW_STEP_ROWS.reset(t1)
 
 
 def _dw_gw_auto(x_shape) -> bool:
     """Auto policy: the measured step-size gate plus the per-site probe
     window, and the kernel's channel padding (pallas_dwgrad.py roofline
     caveat) makes C % 128 != 0 callers pay ~2x HBM traffic, so require
-    aligned C."""
-    if _DW_GW_STEP_ROWS is None or _DW_GW_STEP_ROWS > _DW_GW_STEP_MAX_ROWS:
+    aligned C. Declines spatially-sharded steps (see dw_gw_step_rows)."""
+    step_rows = _DW_GW_STEP_ROWS.get()
+    if step_rows is None or step_rows > _DW_GW_STEP_MAX_ROWS:
+        return False
+    if _DW_GW_SPATIAL.get():
         return False
     N, H, W, C = x_shape
     rows = N * H * W
@@ -214,7 +225,8 @@ def _dw_stencil_or_shift(x, w, pads, site="fwd"):
     norm-backward reduce fusions where splitting has its own cost (see
     _gx_fusion_fence's measurement)."""
     kh, kw = w.shape[0], w.shape[1]
-    sites = os.environ.get("UNCR_DW_STENCIL_SITES", "fwd,gx")
+    sites = {s.strip() for s in
+             os.environ.get("UNCR_DW_STENCIL_SITES", "fwd,gx").split(",")}
     if site in sites and _use_pallas_dw_stencil(x.shape, kh, kw, pads):
         from uncrtaints_tpu.ops.pallas_dwconv import dw_stencil_sharded
         return dw_stencil_sharded(x, w, pads)

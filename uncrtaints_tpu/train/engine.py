@@ -78,7 +78,11 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
 
 def create_train_state(cfg: Config, model, rng: jax.Array,
                        sample_batch: Dict) -> TrainState:
-    variables = model.init(rng, sample_batch["x"],
+    if "x" in sample_batch:
+        x = sample_batch["x"]
+    else:  # raw-DN batch (make_raw_collate): init needs only x's shape
+        x = _prepare_xy(cfg, sample_batch)[0]
+    variables = model.init(rng, x,
                            batch_positions=sample_batch.get("dates"))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
@@ -105,6 +109,35 @@ def _compute_dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _prepare_xy(cfg: Config, batch, rescale_method: str = "default"):
+    """(x_scaled, y_scaled, y_unscaled) fp32 from either batch form.
+
+    Generic form: {'x', 'y'} already radiometrically processed on the host.
+    Raw-DN form (data/pipeline.py make_raw_collate): {'x_s2dn', 'y_dn'}
+    uint16 Sentinel-2 digital numbers + optional processed {'x_s1'} — the
+    process_MS clip/rescale (/root/reference/data/dataLoader.py:35-41)
+    runs HERE, on device, where XLA fuses it with the scale_by multiply
+    and the first conv's input: the host ships 2-byte DN codes and does
+    no radiometric arithmetic at all. The scale in fp32 regardless of the
+    collated dtype: bf16-collated x would otherwise double-round, and an
+    fp32-compute config would silently run the forward in bf16."""
+    s = cfg.scale_by
+    if "x_s2dn" in batch:
+        from uncrtaints_tpu.data.preprocess import process_MS_device
+        s2 = process_MS_device(batch["x_s2dn"].astype(jnp.float32),
+                               rescale_method)
+        if batch.get("x_s1") is not None:
+            x = jnp.concatenate(
+                [batch["x_s1"].astype(jnp.float32), s2], axis=-1)
+        else:
+            x = s2
+        y_u = process_MS_device(batch["y_dn"].astype(jnp.float32),
+                                rescale_method)
+        return s * x, s * y_u, y_u
+    x = s * batch["x"].astype(jnp.float32)
+    return x, s * batch["y"], batch["y"]
+
+
 def _cast_for_forward(cfg: Config, params, x):
     """Mixed precision: fp32 master params, bf16 forward compute.
 
@@ -120,7 +153,7 @@ def _cast_for_forward(cfg: Config, params, x):
     return cast(params), x.astype(dt)
 
 
-def make_train_step(cfg: Config) -> Callable:
+def make_train_step(cfg: Config, rescale_method: str = "default") -> Callable:
     """Build the jitted train step. Batch dict (already on device):
     x [B,T,H,W,C], y [B,1,H,W,13], dates [B,T] or None, masks (unused here).
 
@@ -149,16 +182,11 @@ def make_train_step(cfg: Config) -> Callable:
     s = cfg.scale_by
     k = max(1, int(getattr(cfg, "accum_steps", 1) or 1))
     if k > 1:
-        return _make_accum_train_step(cfg, criterion, s, k)
+        return _make_accum_train_step(cfg, criterion, s, k, rescale_method)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, dropout_rng) -> Tuple[TrainState, Dict]:
-        # Scale in fp32 regardless of the collated dtype: bf16-collated x
-        # (data/pipeline.py x_dtype) would otherwise double-round (bf16 scale
-        # then bf16 cast), and an fp32-compute config would silently run the
-        # forward in bf16. The upcast is free for fp32 inputs and fuses.
-        x = s * batch["x"].astype(jnp.float32)
-        y = s * batch["y"]
+        x, y, _ = _prepare_xy(cfg, batch, rescale_method)
         dates = batch.get("dates")
 
         def loss_fn(params):
@@ -203,8 +231,16 @@ def _with_dw_gw_hint(train_step, microbatches: int = 1):
     from uncrtaints_tpu.models import layers as _layers
 
     def _hint(batch):
-        b, t, h, w = batch["x"].shape[:4]
-        return _layers.dw_gw_step_rows(b * t * h * w // microbatches)
+        xref = batch["x"] if "x" in batch else batch["x_s2dn"]
+        b, t, h, w = xref.shape[:4]
+        # dp x sp meshes shard H/W: the Pallas dwgrad's spatial path
+        # force-gathers those shards, so auto mode must decline (the hint
+        # is trace-cache-consistent: sharding is part of jit's cache key).
+        spec = getattr(getattr(xref, "sharding", None), "spec", None)
+        spatial = spec is not None and any(
+            spec[d] is not None for d in (2, 3) if d < len(spec))
+        return _layers.dw_gw_step_rows(b * t * h * w // microbatches,
+                                       spatial=spatial)
 
     @_ft.wraps(train_step)
     def step(state, batch, dropout_rng):
@@ -221,19 +257,20 @@ def _with_dw_gw_hint(train_step, microbatches: int = 1):
     return step
 
 
-def _make_accum_train_step(cfg: Config, criterion, s: float, k: int):
+def _make_accum_train_step(cfg: Config, criterion, s: float, k: int,
+                           rescale_method: str = "default"):
     """Gradient-accumulation variant of the train step (see make_train_step)."""
     has_var = cfg.loss in ("GNLL", "MGNLL")  # scan can't stack None leaves
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, dropout_rng) -> Tuple[TrainState, Dict]:
-        B = batch["x"].shape[0]
+        xs, ys, _ = _prepare_xy(cfg, batch, rescale_method)
+        B = xs.shape[0]
         if B % k:
             raise ValueError(f"batch {B} not divisible by accum_steps {k}")
         m = B // k
-        x = (s * batch["x"].astype(jnp.float32)).reshape(
-            (k, m) + batch["x"].shape[1:])
-        y = (s * batch["y"]).reshape((k, m) + batch["y"].shape[1:])
+        x = xs.reshape((k, m) + xs.shape[1:])
+        y = ys.reshape((k, m) + ys.shape[1:])
         dates = batch.get("dates")
         dates = (jnp.zeros((k, m, 1), jnp.float32) if dates is None
                  else dates.reshape((k, m) + dates.shape[1:]))
@@ -316,7 +353,8 @@ def profile_flops(cfg: Config, state: TrainState, batch) -> Optional[float]:
 
 
 def make_eval_step(cfg: Config, with_metrics: bool = False,
-                   donate_batch: bool = False) -> Callable:
+                   donate_batch: bool = False,
+                   rescale_method: str = "default") -> Callable:
     """Jitted no-grad eval step: forward + loss + rescale
     (the reference's val/test branch, train_reconstruct.py:302-315).
 
@@ -335,8 +373,7 @@ def make_eval_step(cfg: Config, with_metrics: bool = False,
     s = cfg.scale_by
 
     def eval_step(state: TrainState, batch) -> Dict:
-        x = s * batch["x"].astype(jnp.float32)  # see train_step: fp32 scale
-        y = s * batch["y"]
+        x, y, y_u = _prepare_xy(cfg, batch, rescale_method)
         fwd_params, xc = _cast_for_forward(cfg, state.params, x)
         variables = {"params": fwd_params, "batch_stats": state.batch_stats}
         out = state.apply_fn(variables, xc, batch_positions=batch.get("dates"),
@@ -348,7 +385,7 @@ def make_eval_step(cfg: Config, with_metrics: bool = False,
             aux["var"] = variance / (s * s)
         if with_metrics:
             from uncrtaints_tpu.metrics.image import img_metrics_batch
-            aux["metrics"] = img_metrics_batch(batch["y"], aux["pred"],
+            aux["metrics"] = img_metrics_batch(y_u, aux["pred"],
                                                var=aux.get("var"))
         return aux
 

@@ -23,7 +23,8 @@ from uncrtaints_tpu.metrics import (
     img_metrics_batch, AvgImgMetrics, compute_ece, compute_uce_auce,
 )
 from uncrtaints_tpu.train.observe import (
-    Writer, plot_img, export, diag_to_covar, plot_discard, plot_err_vs_var,
+    Writer, plot_img, plot_mask, export, diag_to_covar, plot_discard,
+    plot_err_vs_var,
 )
 
 S2_BANDS = 13
@@ -261,6 +262,10 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
                     plot_img(y[bdx], "target", plot_dir, file_id=idx)
                     err_img = ((pred[off + bdx] - y[bdx]) ** 2).mean(-1, keepdims=True)
                     plot_img(err_img, "err", plot_dir, file_id=idx)
+                    # discrete matshow of the time-mean input cloud mask
+                    # (train_reconstruct.py:345)
+                    plot_mask(np.asarray(batch["masks"][bdx]).mean(axis=0),
+                              cfg.input_t, plot_dir, file_id=idx)
                     if var is not None:
                         plot_img(var[off + bdx].mean(-1, keepdims=True), "var",
                                  plot_dir, file_id=idx)

@@ -67,10 +67,16 @@ class Writer:
             img = img[None]
         img = np.clip(img, 0, 1)
         if self._writer is None:
-            import matplotlib
-            matplotlib.use("Agg")
-            from matplotlib import pyplot as plt
             panel = img[0]
+            try:
+                import matplotlib
+                matplotlib.use("Agg")
+                from matplotlib import pyplot as plt
+            except ImportError:
+                # No tf AND no matplotlib: degrade to the raw array so
+                # headless training never loses logs and never breaks.
+                np.save(self._media_path(tag, step, "npy"), panel)
+                return
             plt.imsave(self._media_path(tag, step, "png"),
                        panel.squeeze(-1) if panel.shape[-1] == 1 else panel,
                        cmap="gray", vmin=0, vmax=1)
@@ -140,6 +146,25 @@ def plot_img(imgs, mod: str, plot_dir: str, file_id=None):
                            vmin=vmin, vmax=vmax)
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def plot_mask(mean_mask_hw, n_colors: int, plot_dir: str, file_id):
+    """The eval `mask` panel: a discrete-gray matshow of the input cloud
+    masks averaged over time (train_reconstruct.py:345 + discrete_matshow
+    at :260-267 — n_colors = input_t, so each gray level is 'cloudy in k
+    of T frames'). Saved as img-{id}_mask.png next to the other panels."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    os.makedirs(plot_dir, exist_ok=True)
+    fig, ax = plt.subplots()
+    cmap = plt.get_cmap("gray", n_colors + 1)
+    ax.matshow(np.asarray(mean_mask_hw), cmap=cmap, vmin=0, vmax=1)
+    ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"img-{file_id}_mask.png"), dpi=100)
+    plt.close(fig)
 
 
 def export(arrs, mod: str, export_dir: str, file_id=None):
