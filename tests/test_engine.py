@@ -564,3 +564,53 @@ def test_orbax_partial_transfer_from_directory(tmp_path):
     assert any(v == 0.0 for v in mask_leaves.values())          # frozen body
     assert all(v == 1.0 for k, v in mask_leaves.items()
                if "out_conv" in k)                              # head trains
+
+
+def test_raw_dn_batch_steps_match_host_processed():
+    """The raw-DN batch form ({'x_s1','x_s2dn','y_dn'}) through the full
+    eval AND train steps matches the host-processed {'x','y'} form to
+    within float reassociation noise. (The radiometry itself is BIT-exact
+    -- test_native.test_raw_collate_device_radiometry_parity -- but inside
+    jit XLA may fold the /10000 rescale and the x10 scale_by into one
+    multiply, so whole-step outputs differ in the last ulp.)"""
+    from uncrtaints_tpu.data.pipeline import collate_multi, make_raw_collate
+    from tests.test_native import _raw_and_processed_samples
+
+    rng = np.random.default_rng(7)
+    raw_s, proc_s = _raw_and_processed_samples(rng, n=2, t=3, hw=32)
+    raw = make_raw_collate()(raw_s, use_sar=True)
+    ref = collate_multi(proc_s, use_sar=True)
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0, **SMALL))
+    dev = lambda b, keys: {k: jnp.asarray(b[k]) for k in keys}
+    raw_b = dev(raw, ("x_s1", "x_s2dn", "y_dn", "dates"))
+    ref_b = dev(ref, ("x", "y", "dates"))
+
+    model = get_generator(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), raw_b)
+    ev = make_eval_step(cfg, with_metrics=True)
+    a_raw, a_ref = ev(state, raw_b), ev(state, ref_b)
+    np.testing.assert_allclose(float(a_raw["loss"]), float(a_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_raw["pred"]),
+                               np.asarray(a_ref["pred"]),
+                               rtol=1e-4, atol=1e-6)
+    for k in a_ref["metrics"]:
+        np.testing.assert_allclose(np.asarray(a_raw["metrics"][k]),
+                                   np.asarray(a_ref["metrics"][k]),
+                                   rtol=1e-4, atol=1e-5)
+
+    step = make_train_step(cfg)
+    key = jax.random.PRNGKey(1)
+    s_raw, t_raw = step(state, raw_b, key)
+    # state was donated; rebuild for the reference arm
+    state2 = create_train_state(cfg, model, jax.random.PRNGKey(0), ref_b)
+    s_ref, t_ref = step(state2, ref_b, key)
+    np.testing.assert_allclose(float(t_raw["loss"]), float(t_ref["loss"]),
+                               rtol=1e-5)
+    # Adam's first step is ~sign(g)*lr, so an ulp-level reassociation
+    # difference in a near-zero gradient element can flip its whole update
+    # (2*lr = 2e-3); bound by that, not by float noise
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=2.5e-3),
+        s_raw.params, s_ref.params)

@@ -171,3 +171,119 @@ def test_fast_collate_guard_rails(rng):
     b64 = make_fast_collate()([sample(s2_dtype=np.float64)], use_sar=True)
     assert b64["x"].dtype == np.float32
     assert float(b64["x"][0, 0, 0, 0, 2]) == 5000.0
+
+
+def test_frame_into_slab_u16_raw_copy(rng):
+    """Raw-DN shipping: uint16 frame -> uint16 slab is a pure transpose
+    copy (no LUT, no float math), channel-offset aware."""
+    u16 = rng.integers(0, 65536, (13, 32, 32)).astype(np.uint16)
+    slab = np.zeros((32, 32, 13), np.uint16)
+    assert native.frame_into_slab(slab, 0, u16)
+    np.testing.assert_array_equal(slab, np.moveaxis(u16, 0, -1))
+    slab2 = np.full((32, 32, 15), 7, np.uint16)
+    assert native.frame_into_slab(slab2, 2, u16)
+    np.testing.assert_array_equal(slab2[..., 2:], np.moveaxis(u16, 0, -1))
+    assert np.all(slab2[..., :2] == 7)
+
+
+def _raw_and_processed_samples(rng, n=2, t=3, hw=16):
+    from uncrtaints_tpu.data.preprocess import process_MS
+    raw_s, proc_s = [], []
+    for i in range(n):
+        s2u = [rng.integers(0, 14000, (13, hw, hw)).astype(np.uint16)
+               for _ in range(t)]
+        tgu = rng.integers(0, 14000, (13, hw, hw)).astype(np.uint16)
+        s1 = [rng.standard_normal((2, hw, hw)).astype(np.float32)
+              for _ in range(t)]
+        inp = {"S1": s1, "masks": [np.zeros((hw, hw), np.float32)] * t,
+               "S1 TD": list(range(1, t + 1)),
+               "S2 TD": list(range(3, t + 3))}
+        raw_s.append({"input": {**inp, "S2": s2u,
+                                "rescale_method": "default"},
+                      "target": {"S2": [tgu]}})
+        proc_s.append({"input": {**inp,
+                                 "S2": [process_MS(f.astype(np.float32))
+                                        for f in s2u]},
+                       "target": {"S2": [process_MS(tgu.astype(np.float32))]}})
+    return raw_s, proc_s
+
+
+def test_raw_collate_device_radiometry_parity(rng):
+    """make_raw_collate ships untouched uint16 DN; engine._prepare_xy's
+    on-device process_MS + scale_by produces BIT-IDENTICAL scaled x/y to
+    the host-processed fp32 path (/root/reference/data/dataLoader.py:35-41
+    semantics, relocated to the chip)."""
+    import jax.numpy as jnp
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.data.pipeline import collate_multi, make_raw_collate
+    from uncrtaints_tpu.train import engine
+
+    raw_s, proc_s = _raw_and_processed_samples(rng)
+    raw = make_raw_collate()(raw_s, use_sar=True)
+    ref = collate_multi(proc_s, use_sar=True)
+    assert raw["x_s2dn"].dtype == np.uint16
+    assert raw["y_dn"].dtype == np.uint16
+    np.testing.assert_array_equal(raw["dates"], ref["dates"])
+    np.testing.assert_array_equal(raw["masks"], ref["masks"])
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0))
+    dev = lambda b, keys: {k: jnp.asarray(b[k]) for k in keys}
+    xr, yr, yur = engine._prepare_xy(
+        cfg, dev(raw, ("x_s1", "x_s2dn", "y_dn")))
+    xh, yh, yuh = engine._prepare_xy(cfg, dev(ref, ("x", "y")))
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(xh))
+    np.testing.assert_array_equal(np.asarray(yr), np.asarray(yh))
+    np.testing.assert_array_equal(np.asarray(yur), np.asarray(yuh))
+
+
+def test_raw_collate_bf16_s1_and_guards(rng):
+    from ml_dtypes import bfloat16
+    from uncrtaints_tpu.data.pipeline import make_raw_collate
+
+    raw_s, proc_s = _raw_and_processed_samples(rng)
+    b16 = make_raw_collate(s1_dtype=bfloat16)(raw_s, use_sar=True)
+    assert b16["x_s1"].dtype == np.dtype(bfloat16)
+    s1_ref = np.moveaxis(np.asarray(raw_s[0]["input"]["S1"][0]), 0, -1)
+    np.testing.assert_array_equal(
+        np.asarray(b16["x_s1"][0, 0]).view(np.uint16),
+        s1_ref.astype(bfloat16).view(np.uint16))
+    # no-SAR form omits x_s1
+    nosar = make_raw_collate()(raw_s, use_sar=False)
+    assert "x_s1" not in nosar
+    # method-marker mismatch raises; processed fp32 samples are rejected
+    with pytest.raises(ValueError, match="rescale_method"):
+        make_raw_collate(method="resnet")(raw_s, use_sar=True)
+    with pytest.raises(ValueError, match="uint16"):
+        make_raw_collate()(proc_s, use_sar=True)
+
+
+def test_raw_collate_hdf5_roundtrip(rng):
+    """HDF5SEN12MSCRTS(raw_s2=True) -> make_raw_collate -> device
+    radiometry == processed dataset -> collate_multi -> host radiometry,
+    end to end through BatchLoader (the bench.py --e2e default path)."""
+    import jax.numpy as jnp
+    from uncrtaints_tpu.config import Config, derive
+    from uncrtaints_tpu.data.hdf5 import HDF5SEN12MSCRTS
+    from uncrtaints_tpu.data.pipeline import (BatchLoader, collate_multi,
+                                              make_raw_collate)
+    from uncrtaints_tpu.train import engine
+    import bench
+
+    path = bench._e2e_store(4, frames=4, patch=16)
+    ds_raw = HDF5SEN12MSCRTS(path, n_input_samples=2, raw_s2=True)
+    ds_ref = HDF5SEN12MSCRTS(path, n_input_samples=2)
+    mk = lambda ds, col: next(iter(BatchLoader(
+        ds, batch_size=4, shuffle=False, collate=col, use_sar=True,
+        num_workers=2, drop_last=True)))
+    raw = mk(ds_raw, make_raw_collate())
+    ref = mk(ds_ref, collate_multi)
+    np.testing.assert_array_equal(raw["dates"], ref["dates"])
+    np.testing.assert_array_equal(raw["masks"], ref["masks"])
+
+    cfg = derive(Config(use_sar=True, scale_by=10.0))
+    dev = lambda b, keys: {k: jnp.asarray(b[k]) for k in keys}
+    xr, yr, yur = engine._prepare_xy(
+        cfg, dev(raw, ("x_s1", "x_s2dn", "y_dn")))
+    xh, yh, yuh = engine._prepare_xy(cfg, dev(ref, ("x", "y")))
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(xh))
+    np.testing.assert_array_equal(np.asarray(yr), np.asarray(yh))

@@ -145,6 +145,75 @@ def make_fast_collate(method: str = "default", x_dtype=np.float32):
     return collate
 
 
+def make_raw_collate(method: str = "default", s1_dtype=np.float32):
+    """Raw-DN batch assembly: ship Sentinel-2 uint16 digital numbers to the
+    chip UNTOUCHED and let the device step do the radiometry.
+
+    Collates raw samples (``HDF5SEN12MSCRTS(raw_s2=True)``) into
+    {'x_s1' [B,T,H,W,2] s1_dtype, 'x_s2dn' [B,T,H,W,13] uint16,
+     'y_dn' [B,1,H,W,13] uint16, 'dates', 'masks'} — the batch form
+    engine._prepare_xy consumes: process_MS
+    (/root/reference/data/dataLoader.py:35-41) runs ON DEVICE, fused by XLA
+    into the step's scale_by multiply. Host cost per S2/target element is a
+    transpose copy (native u16 slab writer, numpy moveaxis fallback) — zero
+    radiometric arithmetic — and the S2+target H2D bytes halve vs fp32.
+
+    ``method`` must match the rescale_method the train/eval step was built
+    with (engine.make_*_step(rescale_method=...)); raw samples carry a
+    marker that is validated here. S1 is stored already processed (fp32);
+    ``s1_dtype=bfloat16`` additionally halves its bytes (same pre-scale
+    rounding caveat as the bf16 fast-collate arm, collate_multi docstring).
+    """
+    def collate(samples, use_sar: bool = True) -> Dict[str, np.ndarray]:
+        from uncrtaints_tpu import native
+        B = len(samples)
+        s0 = samples[0]["input"]
+        T = len(s0["S2"])
+        if any(len(s["input"]["S2"]) != T for s in samples):
+            raise ValueError("make_raw_collate requires uniform-T batches "
+                             "(use pad_collate_multi for variable T)")
+        if np.asarray(s0["S2"][0]).dtype != np.uint16:
+            raise ValueError("make_raw_collate needs raw uint16 DN samples "
+                             "(HDF5SEN12MSCRTS(raw_s2=True))")
+        marker = s0.get("rescale_method")
+        if marker is not None and marker != method:
+            raise ValueError(
+                f"raw samples expect rescale_method={marker!r} but this "
+                f"collate was built with method={method!r}")
+
+        def write(slab, c0, frame):
+            frame = np.ascontiguousarray(frame)
+            if not native.frame_into_slab(slab, c0, frame, method):
+                c = frame.shape[0]
+                slab[..., c0:c0 + c] = np.moveaxis(frame, 0, -1)
+
+        C2, H, W = np.asarray(s0["S2"][0]).shape
+        x_s2 = np.empty((B, T, H, W, C2), dtype=np.uint16)
+        y = np.empty((B, 1, H, W, C2), dtype=np.uint16)
+        x_s1 = (np.empty((B, T, H, W, 2), dtype=s1_dtype)
+                if use_sar else None)
+        dates, masks = [], []
+        for b, s in enumerate(samples):
+            inp = s["input"]
+            for t in range(T):
+                if use_sar:
+                    write(x_s1[b, t], 0,
+                          np.asarray(inp["S1"][t], np.float32))
+                write(x_s2[b, t], 0, inp["S2"][t])
+            write(y[b, 0], 0, s["target"]["S2"][0])
+            s1_td = np.asarray(inp["S1 TD"], np.float32)
+            s2_td = np.asarray(inp["S2 TD"], np.float32)
+            dates.append((s1_td + s2_td) / 2.0 if use_sar else s2_td)
+            masks.append(np.stack(inp["masks"]).astype(np.float32))
+        out = {"x_s2dn": x_s2, "y_dn": y,
+               "dates": np.stack(dates).astype(np.float32),
+               "masks": np.stack(masks)}
+        if use_sar:
+            out["x_s1"] = x_s1
+        return out
+    return collate
+
+
 def _slab_dtypes():
     try:
         from ml_dtypes import bfloat16

@@ -142,7 +142,10 @@ def frame_into_slab(slab_hwc: np.ndarray, c0: int, chw: np.ndarray,
                     method: str = "default") -> bool:
     """Write a [C,H,W] frame into slab_hwc[:, :, c0:c0+C] in one pass.
 
-    chw uint16 (raw S2 DN): radiometry applied via LUT (process_MS parity).
+    chw uint16 -> slab uint16: raw-DN shipping, layout-only transpose copy
+    (the radiometry runs on-device; engine._prepare_xy).
+    chw uint16 -> slab f32/bf16 (raw S2 DN): radiometry applied via LUT
+    (process_MS parity).
     chw float32 (already-processed frame): plain layout copy, cast to the
     slab dtype (bf16 round-to-nearest-even in C++).
     Returns False when the native library is unavailable or dtypes are
@@ -160,6 +163,12 @@ def frame_into_slab(slab_hwc: np.ndarray, c0: int, chw: np.ndarray,
     if c0 + C > dstC:
         raise ValueError(f"channels [{c0}, {c0 + C}) exceed slab dstC={dstC}")
     base = slab_hwc.ctypes.data + c0 * slab_hwc.itemsize
+    if chw.dtype == np.uint16 and slab_hwc.dtype == np.uint16:
+        lib.u16_chw_to_hwc_slab_u16(
+            _ptr(chw, ctypes.c_uint16),
+            ctypes.cast(base, ctypes.POINTER(ctypes.c_uint16)),
+            _I64(C), _I64(H), _I64(W), _I64(dstC))
+        return True
     is_bf16 = slab_hwc.itemsize == 2 and slab_hwc.dtype == _bf16_dtype()
     is_f32 = slab_hwc.dtype == np.float32
     if not (is_bf16 or is_f32):

@@ -133,6 +133,15 @@ void f32_chw_to_hwc_slab_f32(const float* src, float* dst, int64_t C,
     chw_to_hwc_slab(src, dst, C, H * W, dstC, [](float v) { return v; });
 }
 
+// Raw-DN shipping (round 5): uint16 Sentinel-2 digital numbers go into a
+// uint16 batch slab UNTOUCHED — the radiometry runs on-device, fused into
+// the train/eval step's scale_by multiply (engine._prepare_xy). The host's
+// entire per-element cost is this transpose copy.
+void u16_chw_to_hwc_slab_u16(const uint16_t* src, uint16_t* dst, int64_t C,
+                             int64_t H, int64_t W, int64_t dstC) {
+    chw_to_hwc_slab(src, dst, C, H * W, dstC, [](uint16_t v) { return v; });
+}
+
 void f32_chw_to_hwc_slab_bf16(const float* src, uint16_t* dst, int64_t C,
                               int64_t H, int64_t W, int64_t dstC) {
     chw_to_hwc_slab(src, dst, C, H * W, dstC,
