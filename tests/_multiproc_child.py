@@ -100,6 +100,31 @@ def main():
     out["train_loss"] = float(loop_mod._to_host(aux["loss"]))
     out["train_finite"] = bool(np.isfinite(out["train_loss"]))
 
+    # non-divisible dataset, drop_last=False (round 5): the loader agrees on
+    # a GLOBAL tail and yields it identically on both hosts, marked; the
+    # prefetcher runs it replicated over the mesh. 10 samples / batch 4 / 2
+    # hosts -> body 8 (sharded) + tail 2 (replicated). Every sample must be
+    # seen exactly once, and the replicated tail must run through the
+    # engine's eval step.
+    ds10 = _IdDS(n=10)
+    loader10 = BatchLoader(ds10, batch_size=4, shuffle=False,
+                           collate=collate_multi, shard=(pid, nproc),
+                           drop_last=False)
+    out["len10"] = len(loader10)
+    rows, tail_B, tail_loss = [], None, None
+    ev_step = make_eval_step(cfg)
+    for _, dev10 in loop_mod._device_prefetch(loader10, sharding):
+        per = jax.jit(lambda x: x.mean(axis=(1, 2, 3, 4)))(dev10["x"])
+        rows.extend(float(v) for v in loop_mod._to_host(per))
+        if dev10["x"].sharding.is_fully_replicated:
+            tail_B = int(dev10["x"].shape[0])
+            # st2: the train step donated `state`'s buffers
+            tail_loss = float(loop_mod._to_host(
+                ev_step(st2, dev10)["loss"]))
+    out["tail_rows_sorted"] = sorted(rows)
+    out["tail_B"] = tail_B
+    out["tail_loss"] = tail_loss
+
     # cross-host async orbax checkpoint: save the (replicated, mesh-spanning)
     # trained state from BOTH processes, barrier, restore into a fresh state
     # skeleton, and verify bit-equality with the live params

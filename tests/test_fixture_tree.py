@@ -73,6 +73,10 @@ def npy_tifs(monkeypatch):
             return np.load(f)
     monkeypatch.setattr(ts_mod, "read_tif_img", fake_read)
     monkeypatch.setattr(cr_mod, "read_tif_img", fake_read)
+    # the payloads are .npy, not tif: bounds are not parseable (the real-tif
+    # decode paths are covered by test_fixture_tree_realtif.py)
+    monkeypatch.setattr(ts_mod, "read_tif_bounds", lambda p: [0.0] * 4)
+    monkeypatch.setattr(cr_mod, "read_tif_bounds", lambda p: [0.0] * 4)
     yield
 
 

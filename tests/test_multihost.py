@@ -228,6 +228,17 @@ def test_two_real_processes_end_to_end():
     assert sorted(r0["local_ids"] + r1["local_ids"]) == list(range(8))
     # both hosts see the SAME global metric vector and losses (SPMD)
     assert r0["gathered"] == r1["gathered"]
+    # drop_last=False on a NON-divisible dataset (10 = 8 body + 2 tail):
+    # the global replicated tail restores reference drop_last=False
+    # semantics -- every sample seen exactly once on every host, the tail
+    # batch runs replicated (B=2) and through the eval step identically
+    for r in (r0, r1):
+        assert r["len10"] == 2, r
+        # per-sample means carry one fp32 rounding (sum * 1/n)
+        np.testing.assert_allclose(r["tail_rows_sorted"],
+                                   np.arange(10.0), atol=1e-4)
+        assert r["tail_B"] == 2, r
+    assert r0["tail_loss"] == r1["tail_loss"] and np.isfinite(r0["tail_loss"])
     assert r0["eval_loss"] == r1["eval_loss"]
     assert r0["train_loss"] == r1["train_loss"]
     # contiguous non-overlapping host spans of the global batch

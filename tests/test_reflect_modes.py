@@ -36,3 +36,75 @@ def test_pad_mode_matches_strip_mode(monkeypatch, groups, cin, cout):
     np.testing.assert_allclose(y_fast, y_pad, atol=1e-5, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_pad)):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_batched_border_strips_bit_identical(monkeypatch):
+    """The channel-stacked single-dispatch border correction
+    (Conv2d._reflect3x3_border_batched, depthwise square inputs) computes
+    the SAME FMAs in the SAME order as the four per-edge strip convs:
+    outputs and gradients must match bit for bit."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 8)), jnp.float32)
+    conv = Conv2d(features=8, kernel=3, stride=1, pad=1,
+                  padding_mode="reflect", groups=8)
+    variables = conv.init(jax.random.PRNGKey(1), x)
+
+    def loss(v, x):
+        return jnp.sum(jnp.square(conv.apply(v, x)))
+
+    monkeypatch.setenv("UNCR_REFLECT_BATCH", "1")
+    y_b = conv.apply(variables, x)
+    g_b = jax.grad(loss, argnums=(0, 1))(variables, x)
+    monkeypatch.setenv("UNCR_REFLECT_BATCH", "0")
+    y_u = conv.apply(variables, x)
+    g_u = jax.grad(loss, argnums=(0, 1))(variables, x)
+
+    np.testing.assert_array_equal(np.asarray(y_b), np.asarray(y_u))
+    for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_u)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("shape", [(2, 12, 12, 8), (1, 9, 14, 8)])
+def test_eltwise_border_strips_match(monkeypatch, shape):
+    """The shifted-FMA border form (UNCR_REFLECT_STRIPS=eltwise) matches
+    both the strip-conv default and the materialized-pad ground truth —
+    values and gradients."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    conv = Conv2d(features=8, kernel=3, stride=1, pad=1,
+                  padding_mode="reflect", groups=8)
+    variables = conv.init(jax.random.PRNGKey(6), x)
+
+    def loss(v, x):
+        return jnp.sum(jnp.square(conv.apply(v, x)))
+
+    monkeypatch.setenv("UNCR_REFLECT_STRIPS", "eltwise")
+    y_e = conv.apply(variables, x)
+    g_e = jax.grad(loss, argnums=(0, 1))(variables, x)
+    monkeypatch.setenv("UNCR_REFLECT_STRIPS", "conv")
+    y_c = conv.apply(variables, x)
+    g_c = jax.grad(loss, argnums=(0, 1))(variables, x)
+    monkeypatch.setenv("UNCR_REFLECT", "pad")
+    y_p = conv.apply(variables, x)
+
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_c),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_p),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_e), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_batched_border_matches_pad_mode(monkeypatch):
+    """Batched border path vs the materialized-pad ground truth."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 10, 10, 8)), jnp.float32)
+    conv = Conv2d(features=8, kernel=3, stride=1, pad=1,
+                  padding_mode="reflect", groups=8)
+    variables = conv.init(jax.random.PRNGKey(4), x)
+    monkeypatch.setenv("UNCR_REFLECT_BATCH", "1")
+    y_b = conv.apply(variables, x)
+    monkeypatch.setenv("UNCR_REFLECT", "pad")
+    y_p = conv.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_p),
+                               atol=1e-5, rtol=1e-5)

@@ -106,7 +106,13 @@ def main(cfg: Config) -> dict:
         # replicate AFTER the restore (the loader returns host arrays)
         state = jax.device_put(state, replicated_sharding(bsh.mesh))
 
-    eval_step = make_eval_step(cfg, with_metrics=True, donate_batch=True)
+    # lean metrics-only step when nothing downstream reads predictions
+    # (see cli/train.py; plot/export default ON in test mode, parse_args
+    # parity, so this engages only when the user disables both)
+    need_outputs = (cfg.plot_every > 0 or cfg.export_every > 0
+                    or cfg.loss in ("GNLL", "MGNLL"))
+    eval_step = make_eval_step(cfg, with_metrics=True, donate_batch=True,
+                               return_outputs=need_outputs)
     state, metrics, img_metrics_val = iterate(
         state, test_loader, cfg, writer, "test", epoch, eval_step=eval_step,
         batch_sharding=bsh)

@@ -197,7 +197,13 @@ def main(cfg: Config) -> dict:
     cfg.save_json(os.path.join(exp_dir, "conf.json"))
 
     train_step = make_train_step(cfg)
-    eval_step = make_eval_step(cfg, with_metrics=True, donate_batch=True)
+    # predictions leave the device only for plot/export items and the TB
+    # aleatoric histograms; with all three off the lean metrics-only step
+    # drops the full-res fp32 output buffers (engine.make_eval_step)
+    need_outputs = (cfg.plot_every > 0 or cfg.export_every > 0
+                    or cfg.loss in ("GNLL", "MGNLL"))
+    eval_step = make_eval_step(cfg, with_metrics=True, donate_batch=True,
+                               return_outputs=need_outputs)
     base_rng = dropout_rng(cfg, cfg.rdm_seed)
 
     trainlog, best_loss = {}, float("inf")

@@ -318,7 +318,14 @@ class BatchLoader:
     """Shuffling, thread-prefetching batch iterator over an indexable dataset.
 
     Per-host sharding for multi-host SPMD: with ``shard=(host_id, n_hosts)``
-    each host iterates a disjoint strided subset of the index space.
+    each host iterates a disjoint strided subset of the index space. The
+    global sample order is agreed on by every host (same seed+epoch rng)
+    and striding happens AFTER the shuffle, so with ``drop_last=False`` the
+    non-divisible GLOBAL tail is well defined and every host yields the
+    SAME tail batch last, marked with ``"_replicated_tail": True`` — the
+    loop runs it replicated over the mesh, restoring the reference's
+    drop_last=False semantics (train_reconstruct.py:589-609) on multi-host
+    without dropping or padding samples.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
@@ -341,25 +348,42 @@ class BatchLoader:
         """Reference parity: epoch-seeded reshuffle (train_reconstruct.py:669)."""
         self.epoch = epoch
 
-    def _indices(self) -> np.ndarray:
+    def _global_order(self) -> np.ndarray:
+        """The epoch's sample order, identical on every host (pure function
+        of seed+epoch)."""
         idx = np.arange(len(self.dataset))
-        if self.shard is not None:
-            host, n_hosts = self.shard
-            idx = idx[host::n_hosts]
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         return idx
 
+    def _plan(self):
+        """(per-host body batches, replicated global tail indices or None)."""
+        idx = self._global_order()
+        B = self.batch_size
+        if self.shard is None:
+            n_full = len(idx) // B
+            batches = [idx[i * B:(i + 1) * B] for i in range(n_full)]
+            tail = idx[n_full * B:]
+            if tail.size and not self.drop_last:
+                batches.append(tail)  # single-host: just a smaller batch
+            return batches, None
+        host, n_hosts = self.shard
+        gbs = B * n_hosts
+        body_len = len(idx) // gbs * gbs
+        mine = idx[:body_len][host::n_hosts]
+        batches = [mine[i * B:(i + 1) * B] for i in range(body_len // gbs)]
+        tail = idx[body_len:]
+        if self.drop_last or tail.size == 0:
+            return batches, None
+        return batches, tail
+
     def __len__(self):
-        n = len(self._indices())
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        batches, tail = self._plan()
+        return len(batches) + (1 if tail is not None else 0)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        idx = self._indices()
-        n_batches = len(self)
-        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
-                   for i in range(n_batches)]
+        batches, tail = self._plan()
 
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -372,6 +396,11 @@ class BatchLoader:
                         return
                     samples = list(pool.map(self.dataset.__getitem__, b))
                     q.put(self.collate(samples, use_sar=self.use_sar))
+                if tail is not None and not stop.is_set():
+                    samples = list(pool.map(self.dataset.__getitem__, tail))
+                    out = self.collate(samples, use_sar=self.use_sar)
+                    out["_replicated_tail"] = True
+                    q.put(out)
             finally:
                 q.put(None)
 

@@ -56,18 +56,22 @@ def natsorted(seq):
 
 
 def read_tif_img(path: str) -> np.ndarray:
+    """GeoTIFF -> float32 [bands, H, W] (dataLoader.py:24-28 semantics).
+
+    rasterio/GDAL when installed; otherwise the in-tree pure-Python codec
+    (data/tiff.py) decodes the baseline strip/tile TIFFs the dataset ships
+    (uint16 S2, float32 S1; none/deflate/LZW/PackBits)."""
     if rasterio is None:
-        raise ImportError(
-            "rasterio is required to read GeoTIFFs; convert the dataset to "
-            "HDF5 with `python -m uncrtaints_tpu.cli.convert` on a machine "
-            "with GDAL, or install rasterio.")
+        from uncrtaints_tpu.data.tiff import read_tiff
+        return read_tiff(path).astype(np.float32)
     with rasterio.open(path) as tif:
         return tif.read().astype(np.float32)
 
 
 def read_tif_bounds(path: str) -> List[float]:
     if rasterio is None:
-        return [0.0, 0.0, 0.0, 0.0]
+        from uncrtaints_tpu.data.tiff import read_tiff_bounds
+        return read_tiff_bounds(path)
     with rasterio.open(path) as tif:
         return list(tif.bounds)
 
@@ -222,9 +226,19 @@ class SEN12MSCRTS:
                              min_cov=self.min_cov, max_cov=self.max_cov)
 
     def mosaic_patches(self, paths_nested):
-        """Merge spatial patch lists into mosaics (dataLoader.py:383-393)."""
+        """Merge spatial patch lists into mosaics (dataLoader.py:383-393).
+
+        rasterio.merge when GDAL is installed; otherwise the in-tree
+        bounds-based merge (method='first' parity, data/tiff.py)."""
         if rasterio_merge is None:
-            raise ImportError("rasterio is required for custom-sample mosaics")
+            from uncrtaints_tpu.data.tiff import merge_arrays
+            out = []
+            for tp in paths_nested:
+                full = [os.path.join(self.root_dir, sp) for sp in tp]
+                out.append(merge_arrays(
+                    [read_tif_img(p) for p in full],
+                    [read_tif_bounds(p) for p in full]).astype(np.float32))
+            return out
         out = []
         for tp in paths_nested:
             srcs = [rasterio.open(os.path.join(self.root_dir, sp)) for sp in tp]

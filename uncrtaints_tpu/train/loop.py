@@ -52,8 +52,13 @@ def _to_host(x) -> np.ndarray:
 
     ``np.asarray`` raises on arrays spanning non-addressable devices; in
     multi-process runs the global array is allgathered to every host first
-    (metric vectors and logged panels are small relative to the step)."""
+    (metric vectors and logged panels are small relative to the step).
+    Fully-REPLICATED global arrays (the multi-host replicated-tail batch's
+    outputs) are read off a local shard directly — a tiled allgather would
+    concatenate n_hosts copies."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
@@ -128,15 +133,20 @@ def log_train(writer: Writer, cfg: Config, step: int, batch: Dict,
         log_aleatoric(writer, cfg, "train", step, var)
 
 
-def _device_batch(batch: Dict, sharding=None) -> Dict:
+def _device_batch(batch: Dict, sharding=None, replicated: bool = False) -> Dict:
     """Host batch -> device arrays; batch-sharded over the mesh when given
     (params stay replicated; XLA inserts the gradient psum over ICI).
 
     Multi-host: each host's loader yields only its per-host slice of the
     global batch; ``make_array_from_process_local_data`` assembles the global
-    sharded array from the local shards (DCN never sees activations)."""
+    sharded array from the local shards (DCN never sees activations).
+    ``replicated=True`` (the multi-host replicated-tail batch, identical on
+    every host) places the SAME full array on every device instead."""
     multihost = (sharding is not None
                  and len(sharding.mesh.devices.flatten()) > len(jax.local_devices()))
+    if replicated and multihost:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(sharding.mesh, P())
     out = {}
     for k, v in batch.items():
         if v is None:
@@ -159,23 +169,35 @@ def _device_prefetch(loader, sharding, depth: int = 2):
     from collections import deque
     q = deque()
     for batch in loader:
+        tail_marker = bool(batch.pop("_replicated_tail", False))
         bsh = sharding
+        rep = False
         if sharding is not None:
             n_dev = len(sharding.mesh.devices.flatten())
+            multihost = n_dev > len(jax.local_devices())
             B = next(v.shape[0] for v in batch.values() if v is not None)
-            if B % n_dev != 0:
-                # non-divisible tail batch (drop_last=False, reference
-                # parity): run it REPLICATED over the mesh -- exact loss and
-                # metrics at the cost of no parallel speedup for this one
-                # batch (+ one extra compile for the tail shape). Multi-host
-                # tails never reach here: the CLI drops them (unequal
-                # per-host tails would diverge the SPMD programs).
-                if n_dev > len(jax.local_devices()):
+            # multi-host loaders yield only the per-host SLICE of the global
+            # batch (global_B = B * n_hosts), so divisibility is against the
+            # local device count; single-host batches are global already
+            n_div = len(jax.local_devices()) if multihost else n_dev
+            if tail_marker and multihost:
+                # the loader's GLOBAL tail, identical on every host (see
+                # BatchLoader._plan): run it replicated over the mesh --
+                # exact drop_last=False loss/metrics, every host computes
+                # the same thing (SPMD stays convergent)
+                rep = True
+            elif B % n_div != 0:
+                # single-host non-divisible tail: run it replicated -- exact
+                # loss and metrics at the cost of no parallel speedup for
+                # this one batch (+ one extra compile for the tail shape)
+                if multihost:
                     raise ValueError(
-                        f"tail batch of {B} is not divisible by the "
-                        f"{n_dev}-device multi-host mesh; use drop_last")
+                        f"per-host batch of {B} is not divisible by the "
+                        f"{n_div} local devices and was not marked as a "
+                        "replicated global tail; use a sharded BatchLoader "
+                        "with drop_last=False")
                 bsh = None
-        q.append((batch, _device_batch(batch, bsh)))
+        q.append((batch, _device_batch(batch, bsh, replicated=rep)))
         if len(q) >= depth:
             yield q.popleft()
     while q:
@@ -235,12 +257,15 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
             # multi-host: bm's [B_global] device arrays span non-addressable
             # devices; _to_host allgathers them (img_metrics_batch returns
             # raw jax arrays for exactly this reason). batch["y"] is this
-            # host's slice, so index global rows at the sharding-derived
-            # offset. The fetch is DEFERRED to epoch end so eval steps
-            # dispatch back-to-back (no per-batch host<->device sync);
-            # only the sparse plot/export cadence forces a mid-epoch fetch.
-            off = _host_row_offset(aux["pred"], B)
-            deferred_bm.append((B, off, bm))
+            # host's slice, so plot/export index global rows at the
+            # sharding-derived offset; the METER aggregates every global
+            # row (all hosts report identical full-dataset metrics). The
+            # fetch is DEFERRED to epoch end so eval steps dispatch
+            # back-to-back (no per-batch host<->device sync); only the
+            # sparse plot/export cadence forces a mid-epoch fetch.
+            off = _host_row_offset(aux["pred"] if "pred" in aux
+                                   else next(iter(bm.values())), B)
+            deferred_bm.append(bm)
             pred = var = None  # host copies, materialized lazily below
             for bdx in range(B):
                 # sequential sample id (reference: i*batch_size+bdx with the
@@ -252,6 +277,11 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
                     (cfg.plot_every > 0 and idx % cfg.plot_every == 0)
                     or (cfg.export_every > 0 and idx % cfg.export_every == 0))
                 if need_host and pred is None:
+                    if "pred" not in aux:
+                        raise ValueError(
+                            "plot/export cadence hit but the eval step was "
+                            "built with return_outputs=False; build it with "
+                            "outputs when plot_every/export_every > 0")
                     pred = _to_host(aux["pred"])
                     var = _to_host(aux["var"]) if "var" in aux else None
                 if cfg.plot_every > 0 and idx % cfg.plot_every == 0:
@@ -294,16 +324,19 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
     for l in losses:
         if isinstance(l, jax.Array) and l.is_fully_addressable:
             l.copy_to_host_async()
-    for _, _, bm in deferred_bm:
+    for bm in deferred_bm:
         for v in bm.values():
             if isinstance(v, jax.Array) and v.is_fully_addressable:
                 v.copy_to_host_async()
     losses = [float(l) for l in losses]
     has_var_epoch = cfg.loss in ("GNLL", "MGNLL")
-    for B, off, bm in deferred_bm:
+    n_total = 0  # GLOBAL sample count (== n_seen on a single host)
+    for bm in deferred_bm:
         bm = {k: _to_host(v) for k, v in bm.items()}
-        for bdx in range(B):
-            em = {k: float(v[off + bdx]) for k, v in bm.items()}
+        n_rows = len(next(iter(bm.values())))
+        n_total += n_rows
+        for bdx in range(n_rows):
+            em = {k: float(v[bdx]) for k, v in bm.items()}
             if has_var_epoch and "mean var" in em:
                 vars_aleatoric.append(em["mean var"])
                 errs.append(em["error"])
@@ -327,14 +360,14 @@ def iterate(state, loader, cfg: Config, writer: Optional[Writer],
         writer.add_scalar(f"{mode}/loss", metrics[f"{mode}_loss"], last_step)
 
     if cfg.loss in ("GNLL", "MGNLL") and len(vars_aleatoric) > 0:
-        sorted_errors_se = compute_ece(vars_aleatoric, errs_se, n_seen, percent=5)
+        sorted_errors_se = compute_ece(vars_aleatoric, errs_se, n_total, percent=5)
         plot_discard(sorted_errors_se, cfg, mode, last_step, writer, is_se=True)
-        uce, auce, detail = compute_uce_auce(vars_aleatoric, errs, n_seen,
+        uce, auce, detail = compute_uce_auce(vars_aleatoric, errs, n_total,
                                              percent=5, l2=True)
         plot_err_vs_var(detail, mode, last_step, writer, l2=True)
         img_meter["UCE SE"] = uce
         img_meter["AUCE SE"] = auce
-        if writer is not None:
+        if writer is not None and "var" in aux:
             log_aleatoric(writer, cfg, mode, last_step,
                           _to_host(aux["var"]), "model/", img_meter)
 
