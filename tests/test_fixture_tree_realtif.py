@@ -170,6 +170,32 @@ def cr_tif_tree(tmp_path_factory):
     return root
 
 
+def test_convert_cli_real_tif_to_hdf5(tif_tree, tmp_path):
+    """The tif->HDF5 converter (cli/convert, hdf5converter/ parity) runs
+    GDAL-free end to end: real tif bytes in, HDF5 source out, with the
+    HDF5-backed dataset yielding the same sample as the tif-backed one."""
+    from uncrtaints_tpu.cli import convert as cv
+    from uncrtaints_tpu.data.hdf5 import HDF5SEN12MSCRTS
+
+    out = str(tmp_path / "conv.h5")
+    args = cv.create_parser().parse_args([
+        "--root", tif_tree, "--split", "train", "--region", "all",
+        "--cloud_masks", "cloud_cloudshadow_mask", "--out", out])
+    path = cv.main(args)
+    hds = HDF5SEN12MSCRTS(path, n_input_samples=3)  # masks baked at convert
+    tds = _make_ds(tif_tree)
+    assert len(hds) == len(tds) == N_PATCH
+    hs, ts = hds[0], tds[0]
+    assert list(hs["input"]["idx"]) == list(ts["input"]["idx"])
+    # the store re-quantizes S2 to uint16 DN (convert_to_hdf5): <=1 DN
+    # truncation, i.e. 1e-4 after the /10000 rescale
+    for k in range(3):
+        np.testing.assert_allclose(hs["input"]["S2"][k],
+                                   ts["input"]["S2"][k], atol=1.01e-4)
+    np.testing.assert_allclose(hs["target"]["S2"][0], ts["target"]["S2"][0],
+                               atol=1.01e-4)
+
+
 def test_sen12mscr_real_tif(cr_tif_tree):
     ds = cr_mod.SEN12MSCR(cr_tif_tree, split="train",
                           cloud_masks="cloud_cloudshadow_mask")

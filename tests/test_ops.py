@@ -120,6 +120,20 @@ def test_ssim_matches_reference_impl(rng):
     assert abs(ref - got) < 1e-4
 
 
+def test_ssim_separable_matches_2d_window(rng, monkeypatch):
+    """The separable-blur SSIM (default) and the 2-D-window form
+    (UNCR_SSIM_SEPARABLE=0, the A/B knob) agree to fp32 reassociation
+    noise — the gaussian window is exactly an outer product."""
+    a = rng.random((2, 48, 48, 13)).astype(np.float32)
+    b = np.clip(a + 0.05 * rng.standard_normal(a.shape).astype(np.float32),
+                0, 1).astype(np.float32)
+    monkeypatch.setenv("UNCR_SSIM_SEPARABLE", "0")
+    ref = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    monkeypatch.setenv("UNCR_SSIM_SEPARABLE", "1")
+    got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(ref - got) < 1e-5
+
+
 def test_adaptive_max_pool_grad_matches_reduce_window(rng):
     """The reshape-based divisible path must differentiate identically to
     the reduce_window formulation (routing gradient to the argmax)."""

@@ -95,6 +95,72 @@ def test_eltwise_border_strips_match(monkeypatch, shape):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(2, 12, 12, 8), (1, 9, 14, 8), (1, 2, 2, 4)])
+@pytest.mark.parametrize("fwd_form,gw_form", [
+    ("conv", "ring"), ("shift", "pad"), ("shift", "ring")])
+def test_fused_vjp_matches(monkeypatch, shape, fwd_form, gw_form):
+    """The one-op reflect VJP (UNCR_REFLECT_STRIPS=fused) matches the
+    strip-conv default and the materialized-pad ground truth — values and
+    both gradients — for every (forward form, kernel-grad form) knob
+    combination, including the degenerate 2x2 spatial case."""
+    monkeypatch.setenv("UNCR_REFLECT_FUSED_FWD", fwd_form)
+    monkeypatch.setenv("UNCR_REFLECT_FUSED_GW", gw_form)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    conv = Conv2d(features=shape[-1], kernel=3, stride=1, pad=1,
+                  padding_mode="reflect", groups=shape[-1])
+    variables = conv.init(jax.random.PRNGKey(8), x)
+
+    def loss(v, x):
+        return jnp.sum(jnp.square(conv.apply(v, x)) * jnp.cos(x))
+
+    monkeypatch.setenv("UNCR_REFLECT_STRIPS", "fused")
+    y_f = conv.apply(variables, x)
+    g_f = jax.grad(loss, argnums=(0, 1))(variables, x)
+    monkeypatch.setenv("UNCR_REFLECT_STRIPS", "conv")
+    y_c = conv.apply(variables, x)
+    g_c = jax.grad(loss, argnums=(0, 1))(variables, x)
+    monkeypatch.setenv("UNCR_REFLECT", "pad")
+    y_p = conv.apply(variables, x)
+    g_p = jax.grad(loss, argnums=(0, 1))(variables, x)
+
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_p),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_vjp_pallas_gw_on_reflect_pad():
+    """The Pallas kernel-grad consumes the reflect-PADDED input with VALID
+    pads exactly (interpret mode): same gw as jax.grad through the
+    materialized-pad conv."""
+    from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad
+
+    rng = np.random.default_rng(9)
+    N, H, W, C = 2, 16, 16, 8
+    x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 1, C)) * 0.2, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+
+    def ref(w):
+        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
+        y = jax.lax.conv_general_dilated(
+            xp, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+        return jnp.sum(y * g)
+
+    gw_ref = jax.grad(ref)(w)
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
+    gw = dw_kernel_grad(xp, g, ((0, 0), (0, 0)), 3, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_batched_border_matches_pad_mode(monkeypatch):
     """Batched border path vs the materialized-pad ground truth."""
     rng = np.random.default_rng(3)

@@ -22,19 +22,25 @@ def main(train: bool, batch_size: int, out_path: str):
                         batch_size=batch_size, lr=1e-3))
     model = get_generator(cfg)
     B, T, H, W = batch_size, cfg.input_t, 256, 256
-    rng = np.random.default_rng(0)
-    batch = {
-        "x": jnp.asarray(rng.random((B, T, H, W, input_dim(cfg)), dtype=np.float32)),
-        "y": jnp.asarray(rng.random((B, 1, H, W, 13), dtype=np.float32)),
-        "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
+    # abstract batch: .lower() only needs shapes/dtypes, and shipping a
+    # real ~150 MB batch through a degraded axon tunnel (2.5 MB/s fresh
+    # H2D observed round 5) stalls the dump for minutes. The state init
+    # still runs (on device, no H2D) so the compiled layouts are real.
+    sds = jax.ShapeDtypeStruct
+    batch_abs = {
+        "x": sds((B, T, H, W, input_dim(cfg)), jnp.float32),
+        "y": sds((B, 1, H, W, 13), jnp.float32),
+        "dates": sds((B, T), jnp.float32),
     }
-    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
+    batch_init = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), batch_abs)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch_init)
     if train:
         fn = make_train_step(cfg)
-        lowered = fn.lower(state, batch, jax.random.PRNGKey(1))
+        lowered = fn.lower(state, batch_abs, jax.random.PRNGKey(1))
     else:
         fn = make_eval_step(cfg)
-        lowered = fn.lower(state, batch)
+        lowered = fn.lower(state, batch_abs)
     compiled = lowered.compile()
     txt = compiled.as_text()
     with open(out_path, "w") as f:

@@ -28,17 +28,30 @@ from uncrtaints_tpu.train import (create_train_state, make_train_step,
 cfg = derive(Config(use_sar=True, scale_by=10.0, batch_size=B, lr=1e-3))
 model = get_generator(cfg)
 T, H, W = cfg.input_t, 256, 256
-rng = np.random.default_rng(0)
+# batch is generated ON DEVICE (same distributions as before): the axon
+# tunnel's fresh-content H2D can crawl at 2.5 MB/s (round-5 finding), and
+# shipping a ~100 MB host batch made every arm hit its timeout before a
+# single step ran. Steady-state step timing is H2D-free either way.
+ks = jax.random.split(jax.random.PRNGKey(0), 3)
 batch = {
-    "x": jnp.asarray(rng.random((B, T, H, W, input_dim(cfg)), dtype=np.float32)),
-    "y": jnp.asarray(rng.random((B, 1, H, W, 13), dtype=np.float32)),
-    "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
+    "x": jax.random.uniform(ks[0], (B, T, H, W, input_dim(cfg)), jnp.float32),
+    "y": jax.random.uniform(ks[1], (B, 1, H, W, 13), jnp.float32),
+    "dates": jnp.floor(jax.random.uniform(ks[2], (B, T), jnp.float32,
+                                          0.0, 1500.0)),
 }
 state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
 if mode == "train":
     step = make_train_step(cfg)
     key = jax.random.fold_in(dropout_rng(cfg, 1), 0)
     run = lambda st: step(st, batch, key)
+elif mode == "evalm":
+    # fused-metrics eval; UNCR_AB_LEAN=1 drops pred/var output buffers.
+    # Adam moments are dead weight for eval — drop them so the arm fits
+    # the tunnel's device-buffer budget at bench batch sizes.
+    state = state.replace(opt_state=None)
+    lean = __import__("os").environ.get("UNCR_AB_LEAN", "0") == "1"
+    ev = make_eval_step(cfg, with_metrics=True, return_outputs=not lean)
+    run = lambda st: (st, ev(st, batch))
 else:
     ev = make_eval_step(cfg)
     run = lambda st: (st, ev(st, batch))
@@ -58,7 +71,8 @@ print(json.dumps({"mode": mode, "B": B, "env": env,
 """
 
 
-def run_cfg(spec, iters=20, timeout=900):
+def run_cfg(spec, iters=20,
+            timeout=int(os.environ.get("UNCR_AB_TIMEOUT", 900))):
     parts = spec.split(":")
     mode, B = parts[0], int(parts[1])
     env = dict(os.environ)

@@ -37,9 +37,13 @@ def capture(train: bool, batch_size: int, iters: int) -> str:
     B, T, H, W = batch_size, cfg.input_t, 256, 256
     rng = np.random.default_rng(0)
     batch = {
-        "x": jnp.asarray(rng.random((B, T, H, W, input_dim(cfg)), dtype=np.float32)),
-        "y": jnp.asarray(rng.random((B, 1, H, W, 13), dtype=np.float32)),
-        "dates": jnp.asarray(rng.integers(0, 1500, (B, T)).astype(np.float32)),
+        # device-side batch: the tunnel's fresh H2D can crawl (round 5)
+        "x": jax.random.uniform(jax.random.PRNGKey(10),
+                                (B, T, H, W, input_dim(cfg)), jnp.float32),
+        "y": jax.random.uniform(jax.random.PRNGKey(11), (B, 1, H, W, 13),
+                                jnp.float32),
+        "dates": jnp.floor(jax.random.uniform(jax.random.PRNGKey(12), (B, T),
+                                              jnp.float32, 0.0, 1500.0)),
     }
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch)
     if train:

@@ -1,8 +1,10 @@
 """tif -> HDF5 dataset converter CLI.
 
 Replaces /root/reference/util/hdf5converter/ (script_tif2hdf5.sh + the
-SEN12MSCRTS_to_hdf5 exporter). Run once on a machine with rasterio/GDAL;
-training then uses the HDF5 source everywhere (no GDAL needed).
+SEN12MSCRTS_to_hdf5 exporter). Run once; training then uses the HDF5
+source everywhere. GDAL/rasterio is used when installed, but the standard
+baseline-TIFF dataset tiles also decode through the in-tree pure-Python
+codec (data/tiff.py), so the conversion works on a GDAL-free machine too.
 
     python -m uncrtaints_tpu.cli.convert --root ~/data/SEN12MSCRTS \
         --split train --region all --out train.h5

@@ -324,6 +324,212 @@ def _dw_conv_valid_bwd(res, g):
 _dw_conv_valid.defvjp(_dw_conv_valid_fwd, _dw_conv_valid_bwd)
 
 
+def _reflect_borders_eltwise(x, y, kernel):
+    """Border corrections as shifted elementwise FMAs (depthwise only).
+
+    A 3-tap 1-D depthwise conv over a strip [N,L,C] is
+    ``k0*s[i-1] + k1*s[i] + k2*s[i+1]`` — written as three shifted
+    broadcast multiplies it needs no conv dispatch, fuses with the
+    ``.at[].add`` update-slice, and (the point, BASELINE.md:66-68) its
+    BACKWARD is plain slice/pad/multiply/reduce math instead of the
+    channel-major conv kernel-grad lowering that made the 24 strip
+    sites ~the whole B=4 train gap. fp32 tap accumulation matches the
+    conv form's TPU accumulation (test_reflect_modes parity)."""
+    k = kernel[:, :, 0, :].astype(jnp.float32)  # [3, 3, C]
+
+    def tap3(s, kr, reflect):  # s [N,L,C], kr [3,C]
+        sp = jnp.pad(s, [(0, 0), (1, 1), (0, 0)],
+                     mode="reflect" if reflect else "constant")
+        s32 = sp.astype(jnp.float32)
+        out = (s32[:, :-2] * kr[0] + s32[:, 1:-1] * kr[1]
+               + s32[:, 2:] * kr[2])
+        return out.astype(y.dtype)
+
+    # row fixes tap the reflected row over W; column fixes tap down H
+    # with zero boundary (corner taps are covered by the row fixes)
+    y = y.at[:, 0].add(tap3(x[:, 1], k[0], True))
+    y = y.at[:, -1].add(tap3(x[:, -2], k[2], True))
+    y = y.at[:, :, 0].add(tap3(x[:, :, 1], k[:, 0], False))
+    y = y.at[:, :, -1].add(tap3(x[:, :, -2], k[:, 2], False))
+    return y
+
+
+def _dw_reflect3x3_primal(x, w):
+    """The measured-fastest reflect-conv value form: zero-SAME lax.conv +
+    4 strip convs (identical to the default mode's eval primal)."""
+    C = x.shape[-1]
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def dw(a, k, pad):
+        return jax.lax.conv_general_dilated(
+            a, k, (1, 1), pad, dimension_numbers=dn, feature_group_count=C)
+
+    y = dw(x, w, [(1, 1), (1, 1)])
+
+    def row_fix(strip, krow):
+        sp = jnp.pad(strip, [(0, 0), (1, 1), (0, 0)], mode="reflect")
+        return dw(sp[:, None], krow, "VALID")[:, 0]
+
+    def col_fix(strip, kcol):
+        return dw(strip[:, :, None], kcol, [(1, 1), (0, 0)])[:, :, 0]
+
+    y = y.at[:, 0].add(row_fix(x[:, 1], w[0:1]))
+    y = y.at[:, -1].add(row_fix(x[:, -2], w[2:3]))
+    y = y.at[:, :, 0].add(col_fix(x[:, :, 1], w[:, 0:1]))
+    y = y.at[:, :, -1].add(col_fix(x[:, :, -2], w[:, 2:3]))
+    return y
+
+
+def _gw_ring_corrections(x, g32):
+    """The border-strip kernel-gradient taps as 12 elementwise
+    multiply-reduce strips (fp32 [3,3,C]) — exactly the strip convs'
+    kernel grads in the default decomposition (row fixes tap the
+    reflect-padded rows x[1]/x[-2] against g rows 0/-1; column fixes tap
+    the zero-padded columns x[:,1]/x[:,-2] against g columns 0/-1, the
+    zero padding excluding the corner taps the row fixes already own).
+    No conv lowering, no Pallas dispatch, no padded-x materialization."""
+    N, H, W, C = x.shape
+    corr = jnp.zeros((3, 3, C), jnp.float32)
+    top = jnp.pad(x[:, 1], [(0, 0), (1, 1), (0, 0)],
+                  mode="reflect").astype(jnp.float32)
+    bot = jnp.pad(x[:, -2], [(0, 0), (1, 1), (0, 0)],
+                  mode="reflect").astype(jnp.float32)
+    lef = jnp.pad(x[:, :, 1], [(0, 0), (1, 1), (0, 0)]).astype(jnp.float32)
+    rig = jnp.pad(x[:, :, -2], [(0, 0), (1, 1), (0, 0)]).astype(jnp.float32)
+    for d in range(3):
+        corr = corr.at[0, d].add(
+            jnp.sum(top[:, d:d + W] * g32[:, 0], axis=(0, 1)))
+        corr = corr.at[2, d].add(
+            jnp.sum(bot[:, d:d + W] * g32[:, -1], axis=(0, 1)))
+        corr = corr.at[d, 0].add(
+            jnp.sum(lef[:, d:d + H] * g32[:, :, 0], axis=(0, 1)))
+        corr = corr.at[d, 2].add(
+            jnp.sum(rig[:, d:d + H] * g32[:, :, -1], axis=(0, 1)))
+    return corr
+
+
+@jax.custom_vjp
+def _dw_reflect3x3(x, w):
+    """Depthwise 3x3 stride-1 REFLECT conv with one fused VJP
+    (UNCR_REFLECT_STRIPS=fused).
+
+    The default lowering differentiates the strip decomposition piecewise:
+    the main zero-SAME conv gets the single-pass Pallas kernel-grad, but
+    each of the 4 border strips contributes its own tiny kernel-grad
+    dispatch and input-grad conv — 24 extra dispatches per flagship step,
+    which the round-4 attribution (BASELINE.md:66-68) measured as ~the
+    whole B=4 train gap. This VJP treats the reflect conv as ONE op:
+
+      gw = one kernel-grad pass over the UNPADDED input (zero-SAME pads)
+           plus 12 elementwise ring-correction reduces for the reflected
+           border taps (_gw_ring_corrections) — no strip kernel-grad
+           dispatches and no padded-x copy. UNCR_REFLECT_FUSED_GW=pad
+           switches to the one-pass-over-reflect-padded-input form
+           (measured round 5: the 258² pad materializations lose);
+      gx = the zero-SAME flipped-kernel stencil plus 4 elementwise
+           "halo fold" tap rows/cols (the adjoint of reflect-pad folds the
+           pad ring of the full correlation back onto rows/cols 1 and -2).
+
+    The differentiated FORWARD defaults to the same strip-conv value form
+    as the default mode (UNCR_REFLECT_FUSED_FWD=conv); =shift uses the
+    conv-free shift-add + eltwise borders instead.
+
+    Matches torch nn.Conv2d(padding_mode='reflect') semantics
+    (/root/reference/model/src/backbones/uncrtaints.py:60-66); value and
+    gradient parity vs the materialized-pad form in test_reflect_modes.
+    x [N,H,W,C]; w [3,3,1,C]."""
+    return _dw_reflect3x3_primal(x, w)
+
+
+def _dw_reflect3x3_fwd(x, w):
+    if os.environ.get("UNCR_REFLECT_FUSED_FWD", "conv") == "shift":
+        # conv-free form (shift-add SAME + eltwise borders) — no conv op
+        # in the grad graph means no channel-major layout preference to
+        # propagate, but the conv form measured faster in-step
+        y = _dw_shift_add(x, w, ((1, 1), (1, 1)))
+        y = _reflect_borders_eltwise(x, y, w)
+    else:
+        y = _dw_reflect3x3_primal(x, w)
+    return y, (x, w)
+
+
+def _dw_reflect3x3_bwd(res, g):
+    x, w = res
+    N, H, W, C = x.shape
+    # gx interior: adjoint of the zero-SAME stencil (flipped kernel)
+    gx = _gx_fusion_fence(
+        _dw_stencil_or_shift(g, w[::-1, ::-1], ((1, 1), (1, 1)), site="gx"))
+    k = w[:, :, 0, :].astype(jnp.float32)                      # [3,3,C]
+    g32 = g.astype(jnp.float32)
+
+    def sh(s, d):  # out[i] = s[i-d] along axis 1 of [N,L,C], zero fill
+        if d > 0:
+            return jnp.pad(s, [(0, 0), (d, 0), (0, 0)])[:, :s.shape[1]]
+        return jnp.pad(s, [(0, 0), (0, -d), (0, 0)])[:, -d:]
+
+    # halo folds: the full-pad adjoint's ring gxp[0,v] = sum_b k[0,b]
+    # g[0, v-b] (top; bottom symmetric with k[2]) folds onto x row 1/-2
+    # with its own column fold (corners live in these row rings); the
+    # left/right rings gxp[u,0] = sum_a k[a,0] g[u-a, 0] cover interior
+    # rows only and fold onto x cols 1/-2.
+    def row_ring(s, kr):  # s [N,W,C] -> folded [N,W,C]
+        full = (kr[0] * jnp.pad(s, [(0, 0), (0, 2), (0, 0)])
+                + kr[1] * jnp.pad(s, [(0, 0), (1, 1), (0, 0)])
+                + kr[2] * jnp.pad(s, [(0, 0), (2, 0), (0, 0)]))
+        core = full[:, 1:-1]
+        return core.at[:, 1].add(full[:, 0]).at[:, -2].add(full[:, -1])
+
+    def col_ring(s, kc):  # s [N,H,C] (a g column), taps down the rows
+        return kc[0] * sh(s, -1) + kc[1] * s + kc[2] * sh(s, 1)
+
+    gx = gx.at[:, 1].add(row_ring(g32[:, 0], k[0]).astype(gx.dtype))
+    gx = gx.at[:, -2].add(row_ring(g32[:, -1], k[2]).astype(gx.dtype))
+    gx = gx.at[:, :, 1].add(col_ring(g32[:, :, 0], k[:, 0]).astype(gx.dtype))
+    gx = gx.at[:, :, -2].add(
+        col_ring(g32[:, :, -1], k[:, 2]).astype(gx.dtype))
+
+    if os.environ.get("UNCR_REFLECT_FUSED_GW", "ring") == "pad":
+        # one pass over the reflect-PADDED input — VALID semantics covers
+        # the border taps exactly, but materializes a padded copy of every
+        # dw input (measured round 5: loses to the ring form)
+        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
+        if _use_pallas_dw_gw(x.shape):
+            from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad_sharded
+            gw = dw_kernel_grad_sharded(xp, g, ((0, 0), (0, 0)), 3, 3)
+        else:
+            taps = []
+            for dy in range(3):
+                for dx in range(3):
+                    tap = jax.lax.slice(xp, (0, dy, dx, 0),
+                                        (N, dy + H, dx + W, C))
+                    taps.append(jnp.sum(tap.astype(jnp.float32) * g32,
+                                        axis=(0, 1, 2)))
+            gw = jnp.stack(taps).reshape(3, 3, 1, C)
+        return gx, gw.astype(w.dtype)
+
+    # default 'ring': kernel grad of the zero-SAME main conv on the
+    # UNPADDED input (Pallas single pass where the step policy says so)
+    # + the 12 eltwise border-tap corrections
+    if _use_pallas_dw_gw(x.shape):
+        from uncrtaints_tpu.ops.pallas_dwgrad import dw_kernel_grad_sharded
+        gw_main = dw_kernel_grad_sharded(x, g, ((1, 1), (1, 1)), 3, 3
+                                         ).astype(jnp.float32)
+    else:
+        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+        taps = []
+        for dy in range(3):
+            for dx in range(3):
+                tap = jax.lax.slice(xp, (0, dy, dx, 0), (N, dy + H, dx + W, C))
+                taps.append(jnp.sum(tap.astype(jnp.float32) * g32,
+                                    axis=(0, 1, 2)))
+        gw_main = jnp.stack(taps).reshape(3, 3, 1, C).astype(jnp.float32)
+    gw = gw_main + _gw_ring_corrections(x, g32)[:, :, None, :]
+    return gx, gw.astype(w.dtype)
+
+
+_dw_reflect3x3.defvjp(_dw_reflect3x3_fwd, _dw_reflect3x3_bwd)
+
+
 @jax.custom_vjp
 def _pw_conv(x, w):
     """1x1 stride-1 conv with a dot-based VJP.
@@ -646,16 +852,22 @@ class Conv2d(nn.Module):
         the reflected input row (row 1) with reflected columns; columns
         symmetrically, with out-of-range row taps excluded by zero padding
         (they are already covered by the row corrections)."""
-        y = conv(x, kernel, [(1, 1), (1, 1)])
-
         dwise = self.groups == x.shape[-1] == kernel.shape[-1]
-        if (dwise and os.environ.get("UNCR_REFLECT_STRIPS", "conv")
-                == "eltwise"):
+        strips_mode = os.environ.get("UNCR_REFLECT_STRIPS", "conv")
+        if dwise and strips_mode == "fused":
+            # round-5: ONE custom VJP for the whole reflect conv — gw is a
+            # single kernel-grad pass over the reflect-padded input, gx the
+            # SAME stencil + eltwise halo folds; no strip ops in the grad
+            # graph at all (see _dw_reflect3x3).
+            return _dw_reflect3x3(x, kernel)
+
+        y = conv(x, kernel, [(1, 1), (1, 1)])
+        if dwise and strips_mode == "eltwise":
             # round-5 probe: the 3-tap strip corrections as shifted
             # elementwise multiply-adds (no conv dispatch, no conv
             # kernel-grad lowering in the backward — autodiff yields pure
             # slice/pad/multiply/reduce ops that fuse into the neighbours)
-            return self._reflect3x3_borders_eltwise(x, y, kernel)
+            return _reflect_borders_eltwise(x, y, kernel)
 
         if (dwise and x.shape[-3] == x.shape[-2]
                 and os.environ.get("UNCR_REFLECT_BATCH", "0") == "1"):
@@ -684,35 +896,6 @@ class Conv2d(nn.Module):
         y = y.at[:, -1].add(row_fix(x[:, -2], kernel[2:3]))
         y = y.at[:, :, 0].add(col_fix(x[:, :, 1], kernel[:, 0:1]))
         y = y.at[:, :, -1].add(col_fix(x[:, :, -2], kernel[:, 2:3]))
-        return y
-
-    def _reflect3x3_borders_eltwise(self, x, y, kernel):
-        """Border corrections as shifted elementwise FMAs (depthwise only).
-
-        A 3-tap 1-D depthwise conv over a strip [N,L,C] is
-        ``k0*s[i-1] + k1*s[i] + k2*s[i+1]`` — written as three shifted
-        broadcast multiplies it needs no conv dispatch, fuses with the
-        ``.at[].add`` update-slice, and (the point, BASELINE.md:66-68) its
-        BACKWARD is plain slice/pad/multiply/reduce math instead of the
-        channel-major conv kernel-grad lowering that made the 24 strip
-        sites ~the whole B=4 train gap. fp32 tap accumulation matches the
-        conv form's TPU accumulation (test_reflect_modes parity)."""
-        k = kernel[:, :, 0, :].astype(jnp.float32)  # [3, 3, C]
-
-        def tap3(s, kr, reflect):  # s [N,L,C], kr [3,C]
-            sp = jnp.pad(s, [(0, 0), (1, 1), (0, 0)],
-                         mode="reflect" if reflect else "constant")
-            s32 = sp.astype(jnp.float32)
-            out = (s32[:, :-2] * kr[0] + s32[:, 1:-1] * kr[1]
-                   + s32[:, 2:] * kr[2])
-            return out.astype(y.dtype)
-
-        # row fixes tap the reflected row over W; column fixes tap down H
-        # with zero boundary (corner taps are covered by the row fixes)
-        y = y.at[:, 0].add(tap3(x[:, 1], k[0], True))
-        y = y.at[:, -1].add(tap3(x[:, -2], k[2], True))
-        y = y.at[:, :, 0].add(tap3(x[:, :, 1], k[:, 0], False))
-        y = y.at[:, :, -1].add(tap3(x[:, :, -2], k[:, 2], False))
         return y
 
     def _reflect3x3_border_batched(self, x, y, kernel):
