@@ -134,6 +134,35 @@ def test_fused_vjp_matches(monkeypatch, shape, fwd_form, gw_form):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("form", ["conv", "auto"])
+def test_dw_form_conv_matches_shift(monkeypatch, form):
+    """UNCR_DW_FORM=conv/auto lowers the differentiated dw stencil through
+    lax.conv (round-5 encoder-site win) — values and both gradients must
+    match the shift-add default (fp32 inputs force HIGHEST precision, so
+    only fp reassociation noise remains)."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 8)), jnp.float32)
+    conv = Conv2d(features=8, kernel=3, stride=1, pad=1,
+                  padding_mode="reflect", groups=8)
+    variables = conv.init(jax.random.PRNGKey(12), x)
+
+    def loss(v, x):
+        return jnp.sum(jnp.square(conv.apply(v, x)) * jnp.cos(x))
+
+    monkeypatch.setenv("UNCR_DW_FORM", "shift")
+    y0 = conv.apply(variables, x)
+    g0 = jax.grad(loss, argnums=(0, 1))(variables, x)
+    monkeypatch.setenv("UNCR_DW_FORM", form)
+    if form == "auto":  # let the tiny test site pass the row gate
+        monkeypatch.setenv("UNCR_DW_CONV_MIN_ROWS", "1")
+    y1 = conv.apply(variables, x)
+    g1 = jax.grad(loss, argnums=(0, 1))(variables, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
 def test_fused_vjp_pallas_gw_on_reflect_pad():
     """The Pallas kernel-grad consumes the reflect-PADDED input with VALID
     pads exactly (interpret mode): same gw as jax.grad through the

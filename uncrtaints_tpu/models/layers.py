@@ -216,10 +216,43 @@ def _use_pallas_dw_stencil(x_shape, kh, kw, pads) -> bool:
     return False
 
 
+def _use_conv_dw_form(x_shape) -> bool:
+    """Dispatch for lowering a differentiated dw stencil through
+    lax.conv's dedicated conv path instead of the fusible shift-add form.
+
+    Round-5 measurements (v5e). Per-site (tools/r5_dwsite_ab.py, C=256
+    bf16): the conv lowering is 1.6x faster at the encoder site
+    ([12,256,256] rows: 4.04 vs 6.46 ms — the shift-add form is bound by
+    in-VMEM width-shift relayouts that grow with rows) but slower in
+    isolation at the decoder site ([4,256,256] rows: 3.90 vs 2.78 ms).
+    Whole-step (tools/r5_combo_ab.py, 256px T=3): conv EVERYWHERE wins
+    decisively — train B=4 35.72 -> 40.30 seq/s, B=8 39.77 -> 50.99
+    (+28%; in-step, the conv unit frees the VPU for the neighbouring
+    norm/GELU backward fusions, which the isolated decoder number can't
+    see). Round 2-4 never A/B'd this: the shift-add form was adopted on
+    the 'no conv op in the grad graph' layout hypothesis and only ever
+    compared against the Pallas stencil, not against lax.conv itself.
+
+    UNCR_DW_FORM: 'conv' (DEFAULT — every site), 'shift' (the old
+    fusible shift-add everywhere), or 'auto' (conv only when N*H*W >=
+    UNCR_DW_CONV_MIN_ROWS, default 2^19; measured B=4 36.38 — the
+    mixed form loses to all-conv)."""
+    mode = os.environ.get("UNCR_DW_FORM", "conv")
+    if mode == "conv":
+        return True
+    if mode != "auto":
+        return False
+    N, H, W, _ = x_shape
+    return N * H * W >= int(os.environ.get("UNCR_DW_CONV_MIN_ROWS",
+                                           1 << 19))
+
+
 def _dw_stencil_or_shift(x, w, pads, site="fwd"):
     """The differentiated dw-conv stencil: the Pallas one-read kernel where
-    the dispatch says so, XLA's fusible shift-add form otherwise. Both
-    accumulate fp32 in identical tap order (bit-identical results).
+    the dispatch says so, XLA's fusible shift-add form otherwise (both
+    accumulate fp32 in identical tap order — bit-identical results), or
+    lax.conv's dedicated lowering where _use_conv_dw_form opts in (same
+    math, conv-unit tap order — reassociation-level differences only).
     ``site`` ('fwd' or 'gx') supports the per-site A/B window
     UNCR_DW_STENCIL_SITES (default: both) — the gx sites sit inside the
     norm-backward reduce fusions where splitting has its own cost (see
@@ -230,6 +263,17 @@ def _dw_stencil_or_shift(x, w, pads, site="fwd"):
     if site in sites and _use_pallas_dw_stencil(x.shape, kh, kw, pads):
         from uncrtaints_tpu.ops.pallas_dwconv import dw_stencil_sharded
         return dw_stencil_sharded(x, w, pads)
+    if _use_conv_dw_form(x.shape):
+        # fp32 inputs force HIGHEST precision: TPU fp32 convs otherwise
+        # run reduced-precision passes (~1e-3 relative), while the
+        # shift-add twin is true fp32 VPU math. bf16 inputs (the train
+        # path) keep the default MXU fp32 accumulation.
+        prec = (jax.lax.Precision.HIGHEST
+                if x.dtype == jnp.float32 else None)
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), [tuple(pads[0]), tuple(pads[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x.shape[-1], precision=prec)
     return _dw_shift_add(x, w, pads)
 
 
