@@ -247,6 +247,27 @@ def _use_conv_dw_form(x_shape) -> bool:
                                            1 << 19))
 
 
+def _use_custom_pw_vjp() -> bool:
+    """Dispatch for the dot-based pointwise VJP (_pw_conv) vs XLA's native
+    conv autodiff. Round-5 whole-step A/B (tools/r5_combo_ab.py, conv-form
+    dw backward): the custom rule wins the small-step regime (train B=4
+    40.52 vs 39.47 raw — the NHWC-row-major backward composes with the
+    engaged Pallas kernel-grad) but LOSES at large steps (B=8 50.92 vs
+    53.50 raw). Auto follows the same step-rows hint as the Pallas
+    kernel-grad gate: custom iff the engine says step rows <= 2^20;
+    non-engine callers (unit tests, direct grads — no hint) keep the
+    float64-verified custom rule. UNCR_PW_VJP=custom/raw forces."""
+    env = os.environ.get("UNCR_PW_VJP")
+    if env == "custom":
+        return True
+    if env == "raw":
+        return False
+    step_rows = _DW_GW_STEP_ROWS.get()
+    if step_rows is None:
+        return True
+    return step_rows <= _DW_GW_STEP_MAX_ROWS
+
+
 def _dw_stencil_or_shift(x, w, pads, site="fwd"):
     """The differentiated dw-conv stencil: the Pallas one-read kernel where
     the dispatch says so, XLA's fusible shift-add form otherwise (both
@@ -637,7 +658,24 @@ def _gelu_fast_erf(x):
     return (x32 * 0.5 * (1.0 + erf)).astype(x.dtype)
 
 
+def _raw_vjp():
+    """UNCR_RAW_VJP: comma list of custom-VJP families to BYPASS in favor
+    of plain XLA autodiff ('pw', 'dw', 'gelu') — a measurement knob born
+    of the round-5 lesson that each hand-written VJP must be re-A/B'd
+    whenever the surrounding lowering changes (the shift-add dw form's
+    'keep convs out of the grad graph' rationale was never re-tested and
+    cost 28% of the B=8 train step). Read at trace time."""
+    return {s.strip()
+            for s in os.environ.get("UNCR_RAW_VJP", "").split(",") if s}
+
+
 @jax.custom_vjp
+def _gelu_custom(x):
+    if x.dtype == jnp.bfloat16:
+        return _gelu_fast_erf(x)
+    return jax.nn.gelu(x, approximate=False)
+
+
 def gelu(x):
     """PyTorch nn.GELU() default = exact erf-based gelu.
 
@@ -648,14 +686,16 @@ def gelu(x):
     intermediates per application (profiled: 3x 268 MB residuals per decoder
     block in the train step). The custom rule saves only the input (in its
     own dtype) and recomputes cdf/pdf in the backward:
-    d gelu/dx = Phi(x) + x * phi(x)."""
-    if x.dtype == jnp.bfloat16:
-        return _gelu_fast_erf(x)
-    return jax.nn.gelu(x, approximate=False)
+    d gelu/dx = Phi(x) + x * phi(x). UNCR_RAW_VJP=gelu bypasses the custom
+    rule (plain autodiff through the exact erf form)."""
+    if "gelu" in _raw_vjp():
+        return jax.nn.gelu(x.astype(jnp.float32),
+                           approximate=False).astype(x.dtype)
+    return _gelu_custom(x)
 
 
 def _gelu_vjp_fwd(x):
-    return gelu(x), x
+    return _gelu_custom(x), x
 
 
 def _gelu_vjp_bwd(x, g):
@@ -667,7 +707,7 @@ def _gelu_vjp_bwd(x, g):
     return ((cdf + x32 * pdf).astype(g.dtype) * g,)
 
 
-gelu.defvjp(_gelu_vjp_fwd, _gelu_vjp_bwd)
+_gelu_custom.defvjp(_gelu_vjp_fwd, _gelu_vjp_bwd)
 
 
 def softplus_t20(x):
@@ -837,19 +877,23 @@ class Conv2d(nn.Module):
         kernel = kernel.astype(x.dtype)
         dn = ("NHWC", "HWIO", "NHWC")
 
+        raw = _raw_vjp()  # UNCR_RAW_VJP bypass set, read at trace time
+
         def conv(a, w, padding):
             kh, kw = w.shape[0], w.shape[1]
             same = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
-            if (self.groups > 1 and self.stride == 1
+            if ("dw" not in raw and self.groups > 1 and self.stride == 1
                     and self.groups == a.shape[-1] == w.shape[-1]
                     and padding == same):
                 # depthwise stride-1 SAME: custom VJP (see _dw_conv_same)
                 return _dw_conv_same(a, w)
-            if (kh == kw == 1 and self.stride == 1 and self.groups == 1
+            if ("pw" not in raw and _use_custom_pw_vjp()
+                    and kh == kw == 1 and self.stride == 1
+                    and self.groups == 1
                     and padding in ("VALID", [(0, 0), (0, 0)])):
                 # pointwise: custom dot-based VJP (see _pw_conv)
                 return _pw_conv(a, w)
-            if (self.groups > 1 and self.stride == 1
+            if ("dw" not in raw and self.groups > 1 and self.stride == 1
                     and self.groups == a.shape[-1] == w.shape[-1]
                     and padding == "VALID"):
                 return _dw_conv_valid(a, w)
