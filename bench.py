@@ -86,14 +86,13 @@ def main(train: bool = False, batch_size: int = None):
     from uncrtaints_tpu.train import create_train_state, make_eval_step, make_train_step
 
     # eval: B=16 -- the round-4 on-chip sweep measured 244.6 seq/s at B=16
-    # vs 233.5 at B=8 (the round-3 B=16 buffer exhaustion was a transient
-    # tunnel condition; the OOM fallback below retries at B=8, the
-    # known-good shape, in a fresh process if it recurs).
-    # train: B=8 WITHOUT remat -- the round-4 sweep's throughput optimum
-    # (39.75 seq/s vs 26.3 at the paper-recipe B=4 and 30.8 at B=8+remat;
-    # the round-2 "B=8 backward exceeds HBM headroom" no longer holds after
-    # the round-3 memory work). The paper-recipe arm stays available via
-    # --train --batch 4.
+    # vs 233.5 at B=8 (tunnel-budget OOMs recur in degraded sessions; the
+    # fallback below retries at B=8, the known-good shape, in a fresh
+    # process).
+    # train: B=8 WITHOUT remat -- the throughput optimum across rounds
+    # (round 5: 53.5 seq/s with the conv-form dw backward + step-gated pw
+    # VJP, vs 40.4 at the paper-recipe B=4 and 51.1 at B=16). The
+    # paper-recipe arm stays available via --train --batch 4.
     if batch_size is None:
         batch_size = 8 if train else 16
     cfg = derive(Config(use_sar=True, scale_by=10.0,

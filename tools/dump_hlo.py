@@ -6,6 +6,11 @@ xplane fusion IDs can be mapped back to model code.
 """
 
 import argparse
+import os
+import sys
+
+# runnable without an editable install (PYTHONPATH breaks axon discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
